@@ -15,16 +15,14 @@ _jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
 
+from ._options import get_printoptions, printoptions, set_printoptions  # noqa: E402
+from .fields import GF, GF2, Field, FieldArray, FieldArrayMeta  # noqa: E402
 from .nt import (  # noqa: E402
     carmichael_lambda,
-    crt,
     divisor_sigma,
     divisors,
-    egcd,
     euler_phi,
-    factors,
     fermat_primality_test,
-    gcd,
     ilog,
     iroot,
     is_composite,
@@ -35,12 +33,10 @@ from .nt import (  # noqa: E402
     is_prime_power,
     is_primitive_root,
     is_smooth,
-    is_square_free,
     isqrt,
     jacobi_symbol,
     kronecker_symbol,
     kth_prime,
-    lcm,
     legendre_symbol,
     mersenne_exponents,
     mersenne_primes,
@@ -54,8 +50,30 @@ from .nt import (  # noqa: E402
     primes,
     primitive_root,
     primitive_roots,
-    prod,
     random_prime,
     totatives,
     trial_division,
+)
+from .polys import (  # noqa: E402
+    Poly,
+    conway_poly,
+    irreducible_poly,
+    irreducible_polys,
+    lagrange_poly,
+    matlab_primitive_poly,
+    primitive_poly,
+    primitive_polys,
+)
+
+# Polymorphic int/Poly functions shadow the int-only nt versions
+# (reference: src/galois/_polymorphic.py).
+from ._polymorphic import (  # noqa: E402
+    are_coprime,
+    crt,
+    egcd,
+    factors,
+    gcd,
+    is_square_free,
+    lcm,
+    prod,
 )

@@ -1,0 +1,90 @@
+"""Lookup databases: Conway polynomials, minimal-term irreducible polynomials.
+
+TPU-native analogue of the reference's SQLite layer (reference:
+src/galois/_databases/_interface.py:31-158). Data is packed .npz (built by
+scripts/extract_reference_dbs.py from the public Luebeck/Wolfram tables) and
+loaded once into an in-memory dict — no connection/locking machinery needed.
+
+The reference's third database (Cunningham-book prime factorizations,
+prime_factors.db) is absent from the reference checkout; `PrimeFactorsDatabase`
+keeps the interface and always misses, so `nt.factors` falls through to its
+own algorithms (mirroring reference src/galois/_prime.py:821-827 behavior
+without the DB).
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+_DATA_DIR = pathlib.Path(__file__).resolve().parent
+
+__all__ = ["ConwayPolyDatabase", "IrreduciblePolyDatabase", "PrimeFactorsDatabase"]
+
+
+class _SparsePolyDatabase:
+    """Maps (characteristic, degree) -> (nonzero_degrees, nonzero_coeffs)."""
+
+    filename: str = ""
+
+    def __init__(self):
+        path = _DATA_DIR / self.filename
+        with np.load(path) as z:
+            index = z["index"]
+            self._degrees = z["degrees"]
+            self._coeffs = z["coeffs"]
+        self._table: Dict[Tuple[int, int], Tuple[int, int]] = {
+            (int(p), int(m)): (int(off), int(cnt)) for p, m, off, cnt in index
+        }
+
+    def fetch(self, characteristic: int, degree: int) -> Tuple[List[int], List[int]]:
+        key = (int(characteristic), int(degree))
+        if key not in self._table:
+            raise LookupError(
+                f"{type(self).__name__} has no entry for "
+                f"GF({characteristic}^{degree})."
+            )
+        off, cnt = self._table[key]
+        return (
+            [int(d) for d in self._degrees[off : off + cnt]],
+            [int(c) for c in self._coeffs[off : off + cnt]],
+        )
+
+    def __contains__(self, key: Tuple[int, int]) -> bool:
+        return (int(key[0]), int(key[1])) in self._table
+
+
+class _ConwayPolyDatabase(_SparsePolyDatabase):
+    filename = "conway_polys.npz"
+
+
+class _IrreduciblePolyDatabase(_SparsePolyDatabase):
+    filename = "irreducible_polys.npz"
+
+
+class _PrimeFactorsDatabase:
+    """Interface-compatible stub; the underlying data is not shipped."""
+
+    def fetch(self, n: int):
+        raise LookupError(f"PrimeFactorsDatabase has no entry for {n}.")
+
+    def __contains__(self, n: int) -> bool:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def ConwayPolyDatabase() -> _ConwayPolyDatabase:
+    return _ConwayPolyDatabase()
+
+
+@functools.lru_cache(maxsize=None)
+def IrreduciblePolyDatabase() -> _IrreduciblePolyDatabase:
+    return _IrreduciblePolyDatabase()
+
+
+@functools.lru_cache(maxsize=None)
+def PrimeFactorsDatabase() -> _PrimeFactorsDatabase:
+    return _PrimeFactorsDatabase()

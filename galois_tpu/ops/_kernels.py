@@ -1,0 +1,879 @@
+"""Device (JAX) arithmetic kernels for finite fields.
+
+This is the TPU-native replacement for the reference's Numba ufunc layer
+(reference: src/galois/_domains/{_ufunc,_lookup,_calculate}.py). Instead of
+per-element JIT scalar kernels, every op is a whole-array jnp computation that
+XLA fuses; static field parameters (p, m, irreducible poly, tables, Barrett
+constants) are embedded as compile-time constants via the `FieldMeta`
+descriptor.
+
+Kernel families by storage kind:
+
+- `PrimeOps`      GF(p), p < 2^32 — direct modular arithmetic in 32/64-bit lanes
+- `BinaryExtOps`  GF(2^m), m <= 32 — carry-less multiply via shift/XOR ladders
+- `OddExtOps`     GF(p^m), p odd — base-p digit vectors, convolution +
+                  reduction-matrix fold (vectorized; reference does per-element
+                  loops, src/galois/_domains/_calculate.py:288-324)
+- `LimbPrimeOps`  GF(p), p >= 2^32 — base-2^16 limb vectors, Barrett reduction
+- `LimbBinaryOps` GF(2^m), m > 32 — bit-limb carry-less multiply
+
+`LookupOps` overlays EXP/LOG-table gathers for mul/div/pow/log on small
+fields (order <= 2^20), mirroring the reference's jit-lookup mode — but add
+always uses direct arithmetic (cheaper than Zech gathers on TPU).
+
+All functions take and return arrays in the field's *internal storage*
+(see FieldMeta.storage) and are pure/traceable: no data-dependent Python
+control flow, so they compose with jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields._meta import (
+    LIMB_BITS,
+    STORAGE_DIGITS,
+    STORAGE_INT,
+    STORAGE_LIMBS,
+    FieldMeta,
+    int_to_limbs,
+)
+from ..fields._tables import build_exp_log
+
+__all__ = ["get_ops", "FieldOps"]
+
+
+def _pow_static(multiply, square, a, e: int, one):
+    """a**e for a static Python-int exponent, via square-and-multiply.
+
+    Unrolled at trace time (exponent is static), giving XLA a fixed chain.
+    Handles arbitrarily large exponents — the analogue of the reference's
+    63-bit-word exponent vectors (src/galois/_polys/_dense.py:338-346).
+    """
+    if e == 0:
+        return jnp.broadcast_to(one, a.shape) if hasattr(a, "shape") else one
+    result = None
+    for bit in bin(e)[2:]:
+        if result is not None:
+            result = square(result)
+        if bit == "1":
+            result = a if result is None else multiply(result, a)
+    return result
+
+
+class FieldOps:
+    """Base class: shared dynamic-exponent power and derived ops."""
+
+    def __init__(self, meta: FieldMeta):
+        self.meta = meta
+
+    # -- required primitives (subclasses) --
+    # add(a, b), subtract(a, b), negative(a), multiply(a, b),
+    # reciprocal(a), zero_like(a), one_like(a), is_zero(a) -> bool mask
+
+    def square(self, a):
+        return self.multiply(a, a)
+
+    def divide(self, a, b):
+        return self.multiply(a, self.reciprocal(b))
+
+    def power(self, a, e):
+        """a**e with a (possibly signed) integer-array exponent.
+
+        Branch-free binary ladder with a static trip count (the bit width of
+        the exponent dtype). Negative exponents invert the base first.
+        0**0 = 1; 0**e = 0 for e > 0.
+        """
+        e = jnp.asarray(e, dtype=jnp.int64)
+        neg = e < 0
+        abs_e = jnp.where(neg, -e, e).astype(jnp.uint64)
+        inv_a = self.reciprocal(a)
+        base = self._select(neg, inv_a, a)
+        return self._pow_ladder(base, abs_e)
+
+    def power_words(self, a, words):
+        """a**e where e = sum_i words[i] * 2^(63 i), each word a non-negative
+        int64 array. Supports exponents beyond 64 bits (the analogue of the
+        reference's 63-bit exponent word vectors,
+        src/galois/_polys/_dense.py:338-346)."""
+        result = None
+        cur = a
+        for w_idx, w in enumerate(words):
+            part = self._pow_ladder(cur, jnp.asarray(w, dtype=jnp.int64).astype(jnp.uint64), nbits=63)
+            result = part if result is None else self.multiply(result, part)
+            if w_idx < len(words) - 1:
+                for _ in range(63):
+                    cur = self.square(cur)
+        return result
+
+    def power_static(self, a, e: int):
+        """a**e for a static Python int exponent (may exceed 64 bits)."""
+        if e < 0:
+            return self.power_static(self.reciprocal(a), -e)
+        if e == 0:
+            return self.one_like(a)
+        return _pow_static(self.multiply, self.square, a, e, self.one_like(a))
+
+    def _pow_ladder(self, base, abs_e, nbits: int = 64):
+        # Broadcast base and exponent to a common shape so the fori_loop
+        # carry is shape-stable.
+        storage_nd = 0 if self.meta.storage == STORAGE_INT else 1
+        bshape = base.shape[: base.ndim - storage_nd]
+        out_shape = jnp.broadcast_shapes(bshape, abs_e.shape)
+        base = jnp.broadcast_to(base, out_shape + base.shape[base.ndim - storage_nd :])
+        abs_e = jnp.broadcast_to(abs_e, out_shape)
+
+        def body(i, carry):
+            result, b, e = carry
+            bit = (e & 1).astype(bool)
+            result = self._select(bit, self.multiply(result, b), result)
+            return (result, self.square(b), e >> 1)
+
+        one = self.one_like(base)
+        result, _, _ = jax.lax.fori_loop(0, nbits, body, (one, base, abs_e))
+        return result
+
+    def _select(self, mask, x, y):
+        """jnp.where with the mask broadcast over trailing storage axes."""
+        if self.meta.storage != STORAGE_INT:
+            mask = jnp.asarray(mask)[..., None]
+        return jnp.where(mask, x, y)
+
+    def one_like(self, a):
+        raise NotImplementedError
+
+    def zero_like(self, a):
+        raise NotImplementedError
+
+    def is_zero(self, a):
+        raise NotImplementedError
+
+    def sqrt(self, a):
+        """Square root; for non-squares the result is unspecified (callers
+        validate with is_square first, as the reference does)."""
+        q = self.meta.order
+        p = self.meta.characteristic
+        if p == 2:
+            # a^(2^(m-1)): squaring is the inverse of sqrt's Frobenius
+            return self.power_static(a, q // 2)
+        if q % 4 == 3:
+            root = self.power_static(a, (q + 1) // 4)
+        elif q % 8 == 5:
+            # Atkin's algorithm
+            t = self.power_static(a, (q - 5) // 8)
+            a2 = self.add(a, a)
+            b = self.multiply(a2, self.square(t))
+            root = self.multiply(
+                self.multiply(a, t),
+                self.subtract(b, self.one_like(a)),
+            )
+        else:
+            root = self._tonelli_shanks(a)
+        # Return the "smaller" root for reproducibility (reference returns the
+        # root whose integer repr is <= that of its negation).
+        neg_root = self.negative(root)
+        return self._select(self._repr_le(root, neg_root), root, neg_root)
+
+    def _repr_le(self, a, b):
+        """Mask: integer repr of a <= integer repr of b (for root canonicalization)."""
+        raise NotImplementedError
+
+    def _tonelli_shanks(self, a):
+        q = self.meta.order
+        Q, S = q - 1, 0
+        while Q % 2 == 0:
+            Q //= 2
+            S += 1
+        # Find a non-square z host-side (exact Python-int arithmetic).
+        from ..fields._hostfield import get_host_field
+
+        z_int = get_host_field(self.meta).find_non_square()
+        c = self.power_static(self.from_int_scalar(z_int), Q)
+        t = self.power_static(a, Q)
+        r = self.power_static(a, (Q + 1) // 2)
+
+        one = self.one_like(t)
+        # Fixed S-1 rounds; each round conditionally updates (t, r, c, m_exp).
+        m_cur = jnp.full(jnp.asarray(self.is_zero(a)).shape, S, dtype=jnp.int32)
+        for _ in range(S):
+            # find least i with t^(2^i) == 1 by scanning squarings
+            tt = t
+            i_found = jnp.zeros_like(m_cur)
+            done = jnp.asarray(self._eq(tt, one))
+            for i in range(1, S + 1):
+                tt = self.square(tt)
+                hit = jnp.logical_and(jnp.logical_not(done), jnp.asarray(self._eq(tt, one)))
+                i_found = jnp.where(hit, i, i_found)
+                done = jnp.logical_or(done, hit)
+            # b = c^(2^shift) with shift = m-i-1, via masked repeated squaring
+            shift = jnp.maximum(m_cur - i_found - 1, 0)
+            b = c
+            for j in range(S):
+                b = self._select(j < shift, self.square(b), b)
+            finished = i_found == 0
+            r = self._select(finished, r, self.multiply(r, b))
+            c_new = self.square(b)
+            t = self._select(finished, t, self.multiply(t, c_new))
+            c = self._select(finished, c, c_new)
+            m_cur = jnp.where(finished, m_cur, i_found)
+        return r
+
+    def _eq(self, a, b):
+        if self.meta.storage == STORAGE_INT:
+            return a == b
+        return jnp.all(a == b, axis=-1)
+
+    def from_int_scalar(self, x: int):
+        """Static Python int -> internal-storage 0-d constant."""
+        meta = self.meta
+        if meta.storage == STORAGE_INT:
+            return jnp.asarray(x, dtype=meta.internal_dtype)
+        if meta.storage == STORAGE_DIGITS:
+            return jnp.asarray(meta.int_to_digits(x), dtype=meta.internal_dtype)
+        return jnp.asarray(int_to_limbs(x, meta.storage_width), dtype=meta.internal_dtype)
+
+
+# ======================================================================
+# GF(p), p < 2^32, int storage
+# ======================================================================
+
+class PrimeOps(FieldOps):
+    def __init__(self, meta: FieldMeta):
+        super().__init__(meta)
+        p = meta.characteristic
+        self.p = p
+        self.dt = jnp.dtype(meta.internal_dtype)
+        self.wide = jnp.uint32 if p <= 2**16 else jnp.uint64
+
+    def _w(self, a):
+        return a.astype(self.wide)
+
+    def add(self, a, b):
+        p = self.p
+        s = self._w(a) + self._w(b)
+        return jnp.where(s >= p, s - p, s).astype(self.dt)
+
+    def negative(self, a):
+        p = self.p
+        aw = self._w(a)
+        return jnp.where(aw == 0, aw, p - aw).astype(self.dt)
+
+    def subtract(self, a, b):
+        p = self.p
+        d = self._w(a) + (p - self._w(b))
+        return jnp.where(d >= p, d - p, d).astype(self.dt)
+
+    def multiply(self, a, b):
+        return ((self._w(a) * self._w(b)) % self.p).astype(self.dt)
+
+    def reciprocal(self, a):
+        return self.power_static(a, self.p - 2)
+
+    def one_like(self, a):
+        return jnp.ones_like(a)
+
+    def zero_like(self, a):
+        return jnp.zeros_like(a)
+
+    def is_zero(self, a):
+        return a == 0
+
+    def _repr_le(self, a, b):
+        return a <= b
+
+
+class GF2Ops(PrimeOps):
+    """GF(2): pure bitwise ops (reference: src/galois/_fields/_gf2.py:25-101)."""
+
+    def add(self, a, b):
+        return a ^ b
+
+    subtract = add
+
+    def negative(self, a):
+        return a
+
+    def multiply(self, a, b):
+        return a & b
+
+    def reciprocal(self, a):
+        return a
+
+    def divide(self, a, b):
+        return a & b
+
+    def power(self, a, e):
+        e = jnp.asarray(e)
+        return jnp.where(e == 0, jnp.ones_like(a), a)
+
+    def power_static(self, a, e: int):
+        return jnp.ones_like(a) if e == 0 else a
+
+    def sqrt(self, a):
+        return a
+
+
+# ======================================================================
+# GF(2^m), m <= 32, int storage
+# ======================================================================
+
+class BinaryExtOps(FieldOps):
+    def __init__(self, meta: FieldMeta):
+        super().__init__(meta)
+        self.m = meta.degree
+        self.f = meta.irreducible_poly_int
+        self.dt = jnp.dtype(meta.internal_dtype)
+        self.wide = jnp.uint32 if 2 * self.m - 1 <= 32 else jnp.uint64
+
+    def add(self, a, b):
+        return a ^ b
+
+    subtract = add
+
+    def negative(self, a):
+        return a
+
+    def _clmul(self, a, b):
+        """Carry-less product, 2m-1 bits, in the wide dtype."""
+        aw = a.astype(self.wide)
+        bw = b.astype(self.wide)
+        acc = jnp.zeros_like(aw)
+        for i in range(self.m):
+            acc = acc ^ ((aw << i) * ((bw >> i) & 1))
+        return acc
+
+    def _reduce(self, c):
+        m, f = self.m, self.f
+        for i in range(2 * m - 2, m - 1, -1):
+            c = c ^ (jnp.asarray(f << (i - m), dtype=self.wide) * ((c >> i) & 1))
+        return c.astype(self.dt)
+
+    def multiply(self, a, b):
+        return self._reduce(self._clmul(a, b))
+
+    def square(self, a):
+        # Squaring is bit-spreading (a_i -> bit 2i) then reduction — linear in m.
+        aw = a.astype(self.wide)
+        acc = jnp.zeros_like(aw)
+        for i in range(self.m):
+            acc = acc ^ (((aw >> i) & 1) << (2 * i))
+        return self._reduce(acc)
+
+    def reciprocal(self, a):
+        # Itoh-Tsujii: a^(2^m - 2) = (a^(2^(m-1) - 1))^2 with an addition
+        # chain on m-1 (reference: src/galois/_domains/_calculate.py:447-489).
+        m = self.m
+        t = a  # a^(2^1 - 1)
+        k = 1
+        for bit in bin(m - 1)[3:]:
+            tk = t
+            for _ in range(k):
+                tk = self.square(tk)
+            t = self.multiply(tk, t)
+            k *= 2
+            if bit == "1":
+                t2 = self.square(t)
+                t = self.multiply(t2, a)
+                k += 1
+        return self.square(t)
+
+    def one_like(self, a):
+        return jnp.ones_like(a)
+
+    def zero_like(self, a):
+        return jnp.zeros_like(a)
+
+    def is_zero(self, a):
+        return a == 0
+
+    def _repr_le(self, a, b):
+        return a <= b
+
+    def sqrt(self, a):
+        # m-1 squarings: sqrt(a) = a^(2^(m-1))
+        r = a
+        for _ in range(self.m - 1):
+            r = self.square(r)
+        return r
+
+
+# ======================================================================
+# GF(p^m), p odd — digit vectors
+# ======================================================================
+
+class OddExtOps(FieldOps):
+    """Digit-vector arithmetic. Storage is either int (order <= 2^31, decomposed
+    on the fly) or (..., m) digit vectors."""
+
+    def __init__(self, meta: FieldMeta):
+        super().__init__(meta)
+        self.p = meta.characteristic
+        self.m = meta.degree
+        self.dt = jnp.dtype(meta.internal_dtype)
+        self.int_storage = meta.storage == STORAGE_INT
+        # products: up to m terms of (p-1)^2 each
+        self.wide = jnp.uint64 if self.m * (self.p - 1) ** 2 >= 2**32 else jnp.uint32
+        # NumPy, not jnp: ops objects are cached across traces, so any jnp
+        # constant created here would leak tracers when first built under jit.
+        self.R = np.asarray(meta.reduction_matrix)  # (m-1, m) int64
+
+    # -- digit conversion (device) --
+    def _digits(self, a):
+        if not self.int_storage:
+            return a
+        p, m = self.p, self.m
+        x = a.astype(jnp.uint32)
+        digs = []
+        for _ in range(m):
+            digs.append(x % p)
+            x = x // p
+        return jnp.stack(digs, axis=-1)
+
+    def _undigits(self, d):
+        if not self.int_storage:
+            return d.astype(self.dt)
+        p, m = self.p, self.m
+        weights = jnp.asarray([p**i for i in range(m)], dtype=jnp.uint64)
+        return jnp.sum(d.astype(jnp.uint64) * weights, axis=-1).astype(self.dt)
+
+    def add(self, a, b):
+        A, B = self._digits(a), self._digits(b)
+        s = A.astype(jnp.uint32) + B.astype(jnp.uint32)
+        s = jnp.where(s >= self.p, s - self.p, s)
+        return self._undigits(s)
+
+    def negative(self, a):
+        A = self._digits(a).astype(jnp.uint32)
+        n = jnp.where(A == 0, A, self.p - A)
+        return self._undigits(n)
+
+    def subtract(self, a, b):
+        A, B = self._digits(a), self._digits(b)
+        d = A.astype(jnp.uint32) + (self.p - B.astype(jnp.uint32))
+        d = jnp.where(d >= self.p, d - self.p, d)
+        return self._undigits(d)
+
+    def _mul_digits(self, A, B):
+        # Elementwise shift-accumulate convolution + reduction-matrix fold.
+        # Deliberately avoids dot_general: TPU's x64 rewriter cannot lower
+        # 64-bit contractions, while 64-bit *elementwise* ops lower fine.
+        p, m = self.p, self.m
+        Aw = A.astype(self.wide)
+        Bw = B.astype(self.wide)
+        shape = jnp.broadcast_shapes(Aw.shape[:-1], Bw.shape[:-1])
+        full = jnp.zeros(shape + (2 * m - 1,), dtype=self.wide)
+        for i in range(m):
+            full = full.at[..., i : i + m].add(Aw[..., i : i + 1] * Bw)
+        full = full % p
+        low, high = full[..., :m], full[..., m:]
+        red = jnp.zeros(shape + (m,), dtype=self.wide)
+        for k in range(m - 1):
+            row = jnp.asarray(self.R[k], dtype=self.wide)
+            red = (red + high[..., k : k + 1] * row) % p
+        return ((low + red) % p).astype(jnp.uint32)
+
+    def multiply(self, a, b):
+        return self._undigits(self._mul_digits(self._digits(a), self._digits(b)))
+
+    def reciprocal(self, a):
+        return self.power_static(a, self.meta.order - 2)
+
+    def one_like(self, a):
+        if self.int_storage:
+            return jnp.ones_like(a)
+        one = jnp.zeros_like(a)
+        return one.at[..., 0].set(1)
+
+    def zero_like(self, a):
+        return jnp.zeros_like(a)
+
+    def is_zero(self, a):
+        if self.int_storage:
+            return a == 0
+        return jnp.all(a == 0, axis=-1)
+
+    def _repr_le(self, a, b):
+        if self.int_storage:
+            return a <= b
+        # Lexicographic compare, most-significant digit first
+        le = jnp.ones(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=bool)
+        decided = jnp.zeros_like(le)
+        for i in range(self.m - 1, -1, -1):
+            ai, bi = a[..., i], b[..., i]
+            le = jnp.where(decided, le, jnp.where(ai != bi, ai < bi, le))
+            decided = jnp.logical_or(decided, ai != bi)
+        return le
+
+
+# ======================================================================
+# Limb arithmetic (base 2^16) — huge prime fields
+# ======================================================================
+
+class LimbPrimeOps(FieldOps):
+    """GF(p) for p >= 2^32: little-endian base-2^16 limb vectors, Barrett
+    reduction with host-precomputed mu. All intermediates in int64."""
+
+    def __init__(self, meta: FieldMeta):
+        super().__init__(meta)
+        self.L = meta.storage_width
+        self.p_int = meta.characteristic
+        # NumPy (not jnp): cached across traces — see OddExtOps note.
+        self.p_limbs = np.asarray(int_to_limbs(self.p_int, self.L))  # int64
+        self.mu_limbs = np.asarray(
+            int_to_limbs((1 << (2 * LIMB_BITS * self.L)) // self.p_int, self.L + 1)
+        )
+        self.dt = jnp.dtype(meta.internal_dtype)
+        self.MASK = (1 << LIMB_BITS) - 1
+
+    def _i64(self, a):
+        return a.astype(jnp.int64)
+
+    def _carry_norm(self, c):
+        """Propagate carries so all limbs are < 2^16. c: (..., K) int64 with
+        limbs possibly holding multi-limb magnitudes."""
+        K = c.shape[-1]
+        out = []
+        carry = jnp.zeros(c.shape[:-1], dtype=jnp.int64)
+        for k in range(K):
+            v = c[..., k] + carry
+            out.append(v & self.MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(out, axis=-1)
+
+    def _mul_full(self, a, b):
+        """Schoolbook product -> 2L carry-normalized limbs."""
+        L = self.L
+        aw, bw = self._i64(a), self._i64(b)
+        shape = jnp.broadcast_shapes(aw.shape[:-1], bw.shape[:-1])
+        c = jnp.zeros(shape + (2 * L,), dtype=jnp.int64)
+        for i in range(L):
+            c = c.at[..., i : i + L].add(aw[..., i : i + 1] * bw)
+            # Avoid overflow: after each row, partially normalize if needed.
+            # Max accumulation: L * (2^16-1)^2 + carries < 2^48 — safe in i64
+            # for L up to 2^15, so no mid-loop normalization required.
+        return self._carry_norm(c)
+
+    def _mul_const(self, a, const_limbs: np.ndarray):
+        """a (limbs) times a static limb constant -> carry-normalized."""
+        K = len(const_limbs)
+        aw = self._i64(a)
+        L = aw.shape[-1]
+        c = jnp.zeros(aw.shape[:-1] + (L + K,), dtype=jnp.int64)
+        for j, cj in enumerate(const_limbs):
+            cj = int(cj)
+            if cj:
+                c = c.at[..., j : j + L].add(aw * cj)
+        return self._carry_norm(c)
+
+    def _sub_if_ge(self, r, modulus_limbs):
+        """r - modulus if r >= modulus else r. Both (..., K) normalized limbs;
+        modulus zero-extended to K. modulus_limbs are host ints (static)."""
+        K = r.shape[-1]
+        mod = np.zeros((K,), dtype=np.int64)
+        mod[: len(modulus_limbs)] = np.asarray(modulus_limbs)
+        borrow = jnp.zeros(r.shape[:-1], dtype=jnp.int64)
+        diff = []
+        for k in range(K):
+            v = r[..., k] - int(mod[k]) - borrow
+            diff.append(v & self.MASK)
+            borrow = (v >> LIMB_BITS) & 1
+        diff = jnp.stack(diff, axis=-1)
+        ge = borrow == 0
+        return jnp.where(ge[..., None], diff, r)
+
+    def _barrett(self, x):
+        """x (2L limbs, normalized) mod p -> L limbs. HAC Alg 14.42, b=2^16, k=L."""
+        L = self.L
+        # q1 = floor(x / b^(L-1)) : limbs L-1 .. 2L-1 (L+1 limbs)
+        q1 = x[..., L - 1 :]
+        # q2 = q1 * mu (mu has L+1 limbs) -> up to 2L+2 limbs
+        q2 = self._mul_const(q1, self.mu_limbs)
+        # q3 = floor(q2 / b^(L+1))
+        q3 = q2[..., L + 1 :]
+        # r1 = x mod b^(L+1)
+        r1 = x[..., : L + 1]
+        # r2 = (q3 * p) mod b^(L+1)
+        q3p = self._mul_const(q3, np.asarray(self.p_limbs))
+        r2 = q3p[..., : L + 1]
+        # r = r1 - r2 (mod b^(L+1)); result in [0, 3p)
+        borrow = jnp.zeros(x.shape[:-1], dtype=jnp.int64)
+        r = []
+        for k in range(L + 1):
+            v = r1[..., k] - r2[..., k] - borrow
+            r.append(v & self.MASK)
+            borrow = (v >> LIMB_BITS) & 1
+        r = jnp.stack(r, axis=-1)
+        # r is already correct mod b^(L+1); at most 2 conditional subtracts
+        r = self._sub_if_ge(r, self.p_limbs)
+        r = self._sub_if_ge(r, self.p_limbs)
+        return r[..., :L].astype(self.dt)
+
+    def multiply(self, a, b):
+        return self._barrett(self._mul_full(a, b))
+
+    def add(self, a, b):
+        s = self._carry_norm(
+            jnp.concatenate(
+                [self._i64(a) + self._i64(b), jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (1,), jnp.int64)],
+                axis=-1,
+            )
+        )
+        s = self._sub_if_ge(s, self.p_limbs)
+        return s[..., : self.L].astype(self.dt)
+
+    def negative(self, a):
+        # p - a, with 0 -> 0
+        borrow = jnp.zeros(a.shape[:-1], dtype=jnp.int64)
+        out = []
+        aw = self._i64(a)
+        for k in range(self.L):
+            v = int(self.p_limbs[k]) - aw[..., k] - borrow
+            out.append(v & self.MASK)
+            borrow = (v >> LIMB_BITS) & 1
+        neg = jnp.stack(out, axis=-1).astype(self.dt)
+        return jnp.where(self.is_zero(a)[..., None], a, neg)
+
+    def subtract(self, a, b):
+        return self.add(a, self.negative(b))
+
+    def reciprocal(self, a):
+        return self.power_static(a, self.p_int - 2)
+
+    def one_like(self, a):
+        one = jnp.zeros_like(a)
+        return one.at[..., 0].set(1)
+
+    def zero_like(self, a):
+        return jnp.zeros_like(a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def _repr_le(self, a, b):
+        le = jnp.ones(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=bool)
+        decided = jnp.zeros_like(le)
+        for i in range(self.L - 1, -1, -1):
+            ai, bi = a[..., i], b[..., i]
+            le = jnp.where(decided, le, jnp.where(ai != bi, ai < bi, le))
+            decided = jnp.logical_or(decided, ai != bi)
+        return le
+
+
+class LimbBinaryOps(FieldOps):
+    """GF(2^m) for m > 32: bit-limb carry-less arithmetic."""
+
+    def __init__(self, meta: FieldMeta):
+        super().__init__(meta)
+        self.L = meta.storage_width
+        self.m = meta.degree
+        self.dt = jnp.dtype(meta.internal_dtype)
+        self.MASK = (1 << LIMB_BITS) - 1
+        # Product needs 2m-1 bits
+        self.PL = -(-(2 * self.m - 1) // LIMB_BITS)
+
+    def add(self, a, b):
+        return a ^ b
+
+    subtract = add
+
+    def negative(self, a):
+        return a
+
+    def _get_bit(self, x, i):
+        return (x[..., i // LIMB_BITS] >> (i % LIMB_BITS)) & 1
+
+    def multiply(self, a, b):
+        m, L, PL = self.m, self.L, self.PL
+        aw = a.astype(jnp.uint32)
+        bw = b.astype(jnp.uint32)
+        shape = jnp.broadcast_shapes(aw.shape[:-1], bw.shape[:-1])
+        acc = jnp.zeros(shape + (PL,), dtype=jnp.uint32)
+        # shifted copy of a, extended to PL limbs
+        sa = jnp.zeros(aw.shape[:-1] + (PL,), dtype=jnp.uint32)
+        sa = sa.at[..., :L].set(aw)
+        for i in range(m):
+            bit = self._get_bit(bw, i).astype(jnp.uint32)
+            acc = acc ^ (sa * bit[..., None])
+            if i < m - 1:
+                # shift sa left by one bit across limbs
+                hi = sa >> (LIMB_BITS - 1)
+                sa = (sa << 1) & self.MASK
+                sa = sa.at[..., 1:].set(sa[..., 1:] | hi[..., :-1])
+        # reduce mod f: static constants f << (i-m)
+        f = self.meta.irreducible_poly_int
+        for i in range(2 * m - 2, m - 1, -1):
+            const = int_to_limbs(f << (i - m), PL)
+            bit = self._get_bit(acc, i).astype(jnp.uint32)
+            acc = acc ^ (jnp.asarray(const, dtype=jnp.uint32) * bit[..., None])
+        return acc[..., : self.L].astype(self.dt)
+
+    def square(self, a):
+        return self.multiply(a, a)
+
+    def reciprocal(self, a):
+        # Itoh-Tsujii addition chain, as in BinaryExtOps
+        m = self.m
+        t = a
+        k = 1
+        for bit in bin(m - 1)[3:]:
+            tk = t
+            for _ in range(k):
+                tk = self.square(tk)
+            t = self.multiply(tk, t)
+            k *= 2
+            if bit == "1":
+                t = self.multiply(self.square(t), a)
+                k += 1
+        return self.square(t)
+
+    def one_like(self, a):
+        one = jnp.zeros_like(a)
+        return one.at[..., 0].set(1)
+
+    def zero_like(self, a):
+        return jnp.zeros_like(a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def _repr_le(self, a, b):
+        le = jnp.ones(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=bool)
+        decided = jnp.zeros_like(le)
+        for i in range(self.L - 1, -1, -1):
+            ai, bi = a[..., i], b[..., i]
+            le = jnp.where(decided, le, jnp.where(ai != bi, ai < bi, le))
+            decided = jnp.logical_or(decided, ai != bi)
+        return le
+
+    def sqrt(self, a):
+        r = a
+        for _ in range(self.m - 1):
+            r = self.square(r)
+        return r
+
+
+# ======================================================================
+# Lookup-table overlay (order <= 2^20, int storage)
+# ======================================================================
+
+class LookupOps:
+    """Mixin-style wrapper: EXP/LOG-table gathers for mul/div/recip/pow/log;
+    everything else delegates to the calculate ops."""
+
+    def __init__(self, calc: FieldOps):
+        self._calc = calc
+        self.meta = calc.meta
+        exp, log = build_exp_log(self.meta)
+        # NumPy (not jnp): cached across traces — see OddExtOps note.
+        self.EXP = np.asarray(exp, dtype=np.int32)  # length 2(q-1)
+        self.LOG = np.asarray(log, dtype=np.int32)  # length q
+        self.dt = jnp.dtype(self.meta.internal_dtype)
+
+    def __getattr__(self, name):
+        return getattr(self._calc, name)
+
+    def _take(self, table, idx):
+        return jnp.take(jnp.asarray(table), idx.astype(jnp.int32), axis=0)
+
+    def multiply(self, a, b):
+        q = self.meta.order
+        la = self._take(self.LOG, a)
+        lb = self._take(self.LOG, b)
+        r = self._take(self.EXP, la + lb)
+        zero = jnp.logical_or(a == 0, b == 0)
+        return jnp.where(zero, 0, r).astype(self.dt)
+
+    def square(self, a):
+        return self.multiply(a, a)
+
+    def reciprocal(self, a):
+        q = self.meta.order
+        la = self._take(self.LOG, a)
+        return self._take(self.EXP, (q - 1) - la).astype(self.dt)
+
+    def divide(self, a, b):
+        q = self.meta.order
+        la = self._take(self.LOG, a)
+        lb = self._take(self.LOG, b)
+        r = self._take(self.EXP, la + ((q - 1) - lb))
+        return jnp.where(a == 0, 0, r).astype(self.dt)
+
+    def power(self, a, e):
+        # jnp remainder is non-negative, so negative exponents work directly:
+        # a^e = alpha^(log(a)*e mod (q-1)). Reduce e mod q-1 first so the
+        # int64 product log(a)*e cannot overflow (log < 2^20, e_red < 2^20).
+        q = self.meta.order
+        e = jnp.asarray(e, dtype=jnp.int64)
+        e_red = e % (q - 1)
+        la = self._take(self.LOG, a).astype(jnp.int64)
+        idx = (la * e_red) % (q - 1)
+        r = self._take(self.EXP, idx.astype(jnp.int32))
+        r = jnp.where(jnp.asarray(a == 0), jnp.where(e == 0, 1, 0), r)
+        return r.astype(self.dt)
+
+    def power_words(self, a, words):
+        # Lookup fields have q <= 2^20, so callers reduce exponents mod q-1
+        # into a single word.
+        assert len(words) == 1
+        return self.power(a, words[0])
+
+    def power_static(self, a, e: int):
+        # Reduce mod q-1 first (exponents may exceed 64 bits), but keep the
+        # 0^e semantics of the true exponent.
+        q = self.meta.order
+        e_red = e % (q - 1)
+        r = self.power(a, jnp.asarray(e_red, dtype=jnp.int64))
+        if e != 0 and e_red == 0:
+            r = jnp.where(jnp.asarray(a == 0), 0, r).astype(self.dt)
+        return r
+
+    def log_alpha(self, a):
+        """Discrete log base the field's primitive element."""
+        return self._take(self.LOG, a).astype(jnp.int64)
+
+    def sqrt(self, a):
+        q = self.meta.order
+        la = self._take(self.LOG, a).astype(jnp.int64)
+        if q % 2 == 0:
+            # q-1 odd: inverse of 2 mod q-1 is q/2
+            idx = (la * (q // 2)) % (q - 1)
+            r = self._take(self.EXP, idx.astype(jnp.int32))
+            return jnp.where(a == 0, 0, r).astype(self.dt)
+        # even log -> EXP[l/2]; pick canonical (smaller int repr) root
+        half = la // 2
+        r1 = self._take(self.EXP, half.astype(jnp.int32))
+        r2 = self._calc.negative(r1.astype(self.dt))
+        r = jnp.where(r1.astype(jnp.int64) <= r2.astype(jnp.int64), r1.astype(self.dt), r2)
+        return jnp.where(a == 0, 0, r).astype(self.dt)
+
+
+# ======================================================================
+# Factory
+# ======================================================================
+
+@functools.lru_cache(maxsize=None)
+def get_ops(meta: FieldMeta, mode: str):
+    """Return the kernel object for (field, compile mode).
+
+    mode: "jit-calculate" or "jit-lookup" ("python-calculate" is handled
+    host-side in fields/_tables.py).
+    """
+    p, m = meta.characteristic, meta.degree
+    if meta.storage == STORAGE_LIMBS:
+        calc = LimbBinaryOps(meta) if p == 2 else LimbPrimeOps(meta)
+    elif m == 1:
+        calc = GF2Ops(meta) if p == 2 else PrimeOps(meta)
+    elif p == 2:
+        calc = BinaryExtOps(meta)
+    else:
+        calc = OddExtOps(meta)
+
+    if mode == "jit-lookup":
+        if meta.storage != STORAGE_INT:
+            raise ValueError(f"{meta.name} does not support lookup mode.")
+        return LookupOps(calc)
+    return calc

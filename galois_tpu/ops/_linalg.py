@@ -1,0 +1,378 @@
+"""Finite-field linear algebra kernels.
+
+TPU-native replacement for the reference's _lapack_linalg/Numba layer
+(reference: src/galois/_domains/_linalg.py). Strategy:
+
+- GF(2): matmul as a float32 MXU matmul + mod-2 — exact while the inner
+  dimension K < 2^24 (f32 mantissa), which the call checks.
+- GF(p), small p: exact int64 matmul with K-blocking chosen so block sums
+  never exceed 2^62 (the analogue of the reference's exact-float-dtype pick,
+  src/galois/_domains/_linalg.py:38-51).
+- Everything else: a lax.scan over the contraction axis using the field's
+  multiply/add kernels (always exact; later optimized with bit-plane MXU
+  tricks for GF(2^m)).
+
+Row-reduction / LU / inverse / solve / det use masked pivoting under lax
+control flow so they stay jittable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields._meta import STORAGE_INT
+from ._kernels import get_ops
+
+__all__ = ["matmul", "row_reduce", "inv", "det", "solve", "matrix_rank",
+           "lu_decompose", "plu_decompose"]
+
+
+def _calc_mode(cls):
+    mode = cls._mode
+    if mode == "python-calculate":
+        mode = cls._meta.default_ufunc_mode
+    return mode
+
+
+def matmul(A, B):
+    """Matrix multiply of two FieldArrays with NumPy matmul semantics
+    (1-D promotion, batched broadcasting)."""
+    cls = type(A)
+    meta = cls._meta
+    a, b = A._data, B._data
+
+    # NumPy 1-D promotion rules
+    a_vec = A.ndim == 1
+    b_vec = B.ndim == 1
+    if A.ndim == 0 or B.ndim == 0:
+        raise ValueError("matmul is not defined for 0-D inputs.")
+
+    out = _matmul_data(meta, _calc_mode(cls), a, b, a_vec, b_vec)
+    return cls._view(out, A._dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _matmul_data(meta, mode, a, b, a_vec: bool, b_vec: bool):
+    ops = get_ops(meta, mode)
+    storage_nd = 0 if meta.storage == STORAGE_INT else 1
+
+    if a_vec:
+        a = a[None, ...] if storage_nd == 0 else a[None, ...]
+    if b_vec:
+        b = b[..., None] if storage_nd == 0 else jnp.expand_dims(b, axis=-2)
+
+    p, m = meta.characteristic, meta.degree
+
+    if meta.storage == STORAGE_INT and m == 1:
+        K = a.shape[-1]
+        if p == 2:
+            out = _gf2_matmul(a, b, K)
+        else:
+            out = _prime_matmul(a, b, p, K, meta)
+    else:
+        out = _generic_matmul(ops, meta, a, b)
+
+    if a_vec:
+        out = jnp.squeeze(out, axis=-2 - storage_nd)
+    if b_vec:
+        out = jnp.squeeze(out, axis=-1 - storage_nd)
+    return out
+
+
+def _gf2_matmul(a, b, K):
+    """GF(2) matmul on the MXU via f32 (exact for K < 2^24)."""
+    if K < 2**24:
+        c = jnp.matmul(a.astype(jnp.float32), b.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return (c.astype(jnp.int64) & 1).astype(a.dtype)
+    c = jnp.matmul(a.astype(jnp.int64), b.astype(jnp.int64))
+    return (c & 1).astype(a.dtype)
+
+
+def _prime_matmul(a, b, p, K, meta):
+    """Exact prime-field matmul.
+
+    TPU: 7-bit plane decomposition onto the int8 MXU — A = sum_i A_i 128^i,
+    C = sum_{i,j} (A_i @ B_j) 128^(i+j) mod p, with each plane product
+    accumulated exactly in int32 (TPU cannot lower 64-bit dot_general; this
+    is the MXU-native analogue of the reference's exact-float BLAS trick,
+    src/galois/_domains/_linalg.py:21-75).
+
+    CPU: exact int64 matmul with K-blocking so block sums stay < 2^62.
+    """
+    if jax.default_backend() == "tpu":
+        return _prime_matmul_planes(a, b, p, K)
+    max_block = max(1, (2**62) // max(1, (p - 1) ** 2))
+    a64 = a.astype(jnp.int64)
+    b64 = b.astype(jnp.int64)
+    if K <= max_block:
+        return (jnp.matmul(a64, b64) % p).astype(a.dtype)
+    n_blocks = -(-K // max_block)
+    acc = None
+    for i in range(n_blocks):
+        s = i * max_block
+        e = min(K, s + max_block)
+        part = jnp.matmul(a64[..., s:e], b64[..., s:e, :]) % p
+        acc = part if acc is None else (acc + part) % p
+    return acc.astype(a.dtype)
+
+
+_PLANE_BITS = 7
+_PLANE_BASE = 1 << _PLANE_BITS
+
+
+def _prime_matmul_planes(a, b, p, K):
+    n_planes = -(-max(1, (p - 1).bit_length()) // _PLANE_BITS)
+    # int32 accumulation is exact while K*127^2 < 2^31
+    max_block = (2**31 - 1) // ((_PLANE_BASE - 1) ** 2)
+    a32 = a.astype(jnp.int32)
+    b32 = b.astype(jnp.int32)
+    a_planes = [((a32 >> (_PLANE_BITS * i)) & (_PLANE_BASE - 1)).astype(jnp.int8) for i in range(n_planes)]
+    b_planes = [((b32 >> (_PLANE_BITS * j)) & (_PLANE_BASE - 1)).astype(jnp.int8) for j in range(n_planes)]
+    acc = None
+    for i in range(n_planes):
+        for j in range(n_planes):
+            shift = pow(2, _PLANE_BITS * (i + j), p)
+            part = None
+            for s in range(0, K, max_block):
+                e = min(K, s + max_block)
+                blk = jnp.matmul(
+                    a_planes[i][..., s:e],
+                    b_planes[j][..., s:e, :],
+                    preferred_element_type=jnp.int32,
+                )
+                blk = (blk.astype(jnp.int64) % p)
+                part = blk if part is None else (part + blk) % p
+            term = (part * shift) % p
+            acc = term if acc is None else (acc + term) % p
+    return acc.astype(a.dtype)
+
+
+def _generic_matmul(ops, meta, a, b):
+    """Scan over the contraction axis with exact field ops (any field)."""
+    storage_nd = 0 if meta.storage == STORAGE_INT else 1
+    # a: (..., M, K [,w]), b: (..., K, N [,w])
+    if storage_nd == 0:
+        a_k = jnp.moveaxis(a, -1, 0)        # (K, ..., M)
+        b_k = jnp.moveaxis(b, -2, 0)        # (K, ..., N)
+
+        def body(carry, xs):
+            ak, bk = xs                      # (..., M), (..., N)
+            prod = ops.multiply(ak[..., :, None], bk[..., None, :])
+            return ops.add(carry, prod), None
+
+        init = jnp.zeros(
+            jnp.broadcast_shapes(a.shape[:-1] + (1,), b.shape[:-2] + (1,) + b.shape[-1:]),
+            dtype=a.dtype,
+        )
+        out, _ = jax.lax.scan(body, init, (a_k, b_k))
+        return out
+    else:
+        w = meta.storage_width
+        a_k = jnp.moveaxis(a, -2, 0)        # (K, ..., M, w)
+        b_k = jnp.moveaxis(b, -3, 0)        # (K, ..., N, w)
+
+        def body(carry, xs):
+            ak, bk = xs
+            prod = ops.multiply(ak[..., :, None, :], bk[..., None, :, :])
+            return ops.add(carry, prod), None
+
+        init_shape = jnp.broadcast_shapes(
+            a.shape[:-2] + (1, w), b.shape[:-3] + (1,) + b.shape[-2:]
+        )
+        init = jnp.zeros(init_shape, dtype=a.dtype)
+        out, _ = jax.lax.scan(body, init, (a_k, b_k))
+        return out
+
+
+# ----------------------------------------------------------------------
+# Gaussian elimination family (int-storage fields; digit/limb fields use
+# the same code through the ops object)
+# ----------------------------------------------------------------------
+
+def row_reduce(A, ncols=None):
+    """Row-reduce to reduced row echelon form
+    (reference: src/galois/_domains/_linalg.py:316-352)."""
+    cls = type(A)
+    if A.ndim != 2:
+        raise ValueError(f"Argument 'A' must be 2-D, not {A.ndim}-D.")
+    ncols = A.shape[1] if ncols is None else int(ncols)
+    out, _ = _row_reduce_data(cls._meta, _calc_mode(cls), A._data, ncols)
+    return cls._view(out, A._dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def _row_reduce_data(meta, mode, a, ncols: int):
+    """Masked Gaussian elimination: fixed iteration count, no data-dependent
+    control flow — jit/vmap/shard-safe."""
+    ops = get_ops(meta, mode)
+    M = a.shape[0]
+
+    def one_col(state, j):
+        a, pivot_row = state
+        # find first row >= pivot_row with nonzero in col j
+        col = a[:, j] if meta.storage == STORAGE_INT else a[:, j, :]
+        nz = jnp.logical_not(ops.is_zero(col))
+        rows = jnp.arange(M)
+        candidates = jnp.where(jnp.logical_and(nz, rows >= pivot_row), rows, M)
+        i = jnp.min(candidates)
+        found = i < M
+
+        def do_eliminate(a):
+            # swap rows i and pivot_row
+            ai = _row(a, i, meta)
+            ap = _row(a, pivot_row, meta)
+            a = _set_row(a, i, ap, meta)
+            a = _set_row(a, pivot_row, ai, meta)
+            # normalize pivot row
+            piv = _elem(a, pivot_row, j, meta)
+            inv = ops.reciprocal(piv)
+            prow = ops.multiply(_row(a, pivot_row, meta), inv[None] if meta.storage == STORAGE_INT else inv[None, :])
+            a = _set_row(a, pivot_row, prow, meta)
+            # eliminate all other rows
+            colj = a[:, j] if meta.storage == STORAGE_INT else a[:, j, :]
+            factor = colj
+            upd = ops.subtract(a, ops.multiply(_expand(factor, meta), prow[None]))
+            keep = rows == pivot_row
+            keep_b = keep[:, None] if meta.storage == STORAGE_INT else keep[:, None, None]
+            a = jnp.where(keep_b, a, upd)
+            return a
+
+        a = jax.lax.cond(found, do_eliminate, lambda a: a, a)
+        pivot_row = jnp.where(found, pivot_row + 1, pivot_row)
+        return (a, pivot_row), None
+
+    (a, pivot_row), _ = jax.lax.scan(one_col, (a, jnp.asarray(0)), jnp.arange(ncols))
+    return a, pivot_row
+
+
+def _row(a, i, meta):
+    return a[i]
+
+
+def _set_row(a, i, row, meta):
+    return a.at[i].set(row)
+
+
+def _elem(a, i, j, meta):
+    return a[i, j] if meta.storage == STORAGE_INT else a[i, j, :]
+
+
+def _expand(col, meta):
+    # col: (M,) or (M, w) -> (M, 1) or (M, 1, w)
+    if meta.storage == STORAGE_INT:
+        return col[:, None]
+    return col[:, None, :]
+
+
+def matrix_rank(A) -> int:
+    cls = type(A)
+    _, pivots = _row_reduce_data(cls._meta, _calc_mode(cls), A._data, A.shape[1])
+    return int(pivots)
+
+
+def inv(A):
+    """Matrix inverse via row-reducing [A | I]
+    (reference: src/galois/_domains/_linalg.py:496-525)."""
+    cls = type(A)
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise np.linalg.LinAlgError(f"Argument 'A' must be square, not {A.shape}.")
+    n = A.shape[0]
+    I = cls.Identity(n)
+    if cls._meta.storage == STORAGE_INT:
+        AI = jnp.concatenate([A._data, I._data], axis=1)
+    else:
+        AI = jnp.concatenate([A._data, I._data], axis=1)
+    out, pivots = _row_reduce_data(cls._meta, _calc_mode(cls), AI, n)
+    if int(pivots) != n:
+        raise np.linalg.LinAlgError("Matrix is singular and cannot be inverted.")
+    inv_data = out[:, n:] if cls._meta.storage == STORAGE_INT else out[:, n:, :]
+    return cls._view(inv_data, A._dtype)
+
+
+def det(A):
+    """Determinant via masked LU (no pivot-permutation sign issues are skipped:
+    we track row swaps)."""
+    cls = type(A)
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise np.linalg.LinAlgError(f"Argument 'A' must be square, not {A.shape}.")
+    n = A.shape[0]
+    if n == 1:
+        return A[0, 0]
+    # PLU-based: det = (-1)^swaps * prod(diag(U))
+    P, L, U, swaps = _plu(cls, A)
+    ops = get_ops(cls._meta, _calc_mode(cls))
+    diag = [U[i, i] for i in range(n)]
+    out = diag[0]
+    for d in diag[1:]:
+        out = out * d
+    if swaps % 2 == 1:
+        out = -out
+    return out
+
+
+def lu_decompose(A):
+    cls = type(A)
+    P, L, U, swaps = _plu(cls, A)
+    if not np.array_equal(np.asarray(P), np.eye(A.shape[0], dtype=np.int64)):
+        raise ValueError("The LU decomposition of 'A' does not exist. Use the PLU decomposition instead.")
+    return L, U
+
+
+def plu_decompose(A):
+    cls = type(A)
+    P, L, U, swaps = _plu(cls, A)
+    return P, L, U
+
+
+def _plu(cls, A):
+    """Host-orchestrated PLU with partial 'first nonzero' pivoting, exact
+    field arithmetic (concrete shapes; small-matrix path)."""
+    n = A.shape[0]
+    Anp = np.asarray(A, dtype=object)
+    from ..fields._hostfield import get_host_field
+
+    hf = get_host_field(cls._meta)
+    U = [[int(v) for v in row] for row in Anp]
+    L = [[1 if i == j else 0 for j in range(n)] for i in range(n)]
+    perm = list(range(n))
+    swaps = 0
+    for j in range(min(n, len(U[0]) if U else 0)):
+        # pivot: first i >= j with U[i][j] != 0
+        piv = None
+        for i in range(j, n):
+            if U[i][j] != 0:
+                piv = i
+                break
+        if piv is None:
+            continue
+        if piv != j:
+            U[j], U[piv] = U[piv], U[j]
+            perm[j], perm[piv] = perm[piv], perm[j]
+            for k in range(j):
+                L[j][k], L[piv][k] = L[piv][k], L[j][k]
+            swaps += 1
+        inv_p = hf.reciprocal(U[j][j])
+        for i in range(j + 1, n):
+            if U[i][j] != 0:
+                factor = hf.multiply(U[i][j], inv_p)
+                L[i][j] = factor
+                for k in range(len(U[i])):
+                    U[i][k] = hf.subtract(U[i][k], hf.multiply(factor, U[j][k]))
+    P = np.zeros((n, n), dtype=np.int64)
+    for row, col in enumerate(perm):
+        P[col, row] = 1
+    return cls(P.tolist()), cls(L), cls(U), swaps
+
+
+def solve(A, b):
+    """Solve Ax = b (reference: src/galois/_domains/_linalg.py:528-548)."""
+    cls = type(A)
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise np.linalg.LinAlgError(f"Argument 'A' must be square, not {A.shape}.")
+    Ainv = inv(A)
+    return matmul(Ainv, b)

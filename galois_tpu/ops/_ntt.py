@@ -1,0 +1,293 @@
+"""Number-theoretic transform / finite-field FFT.
+
+TPU-first mixed-radix Cooley-Tukey: each level reshapes (..., N) ->
+(..., M, r), recurses on the size-M transforms, applies precomputed twiddle
+factors, and combines with an r x r DFT matrix contraction. All twiddle/DFT
+tables are computed once per (field, N) and embedded as device constants;
+there is no bit-reversal pass and no data-dependent control flow.
+
+This replaces the reference's single-threaded staged-loop kernel
+(reference: src/galois/_domains/_function.py:170-392) with a formulation
+XLA can fuse and (for the contraction) map onto the MXU; the multi-device
+version lives in parallel/_ntt_sharded.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields._meta import FieldMeta
+from ..nt import factors as int_factors
+from ._kernels import get_ops
+
+__all__ = ["fft_data", "ifft_data", "field_fft", "field_ifft", "FFTPlan"]
+
+_MAX_BASE = 64  # transforms at or below this size use a direct DFT matmul
+
+
+def _radix_schedule(N: int) -> List[int]:
+    """Factor N into a list of radices, largest-first, leaving a base <= 64.
+
+    Prefers big radices so the recursion is shallow (fewer HBM passes)."""
+    primes, exponents = int_factors(N)
+    fs: List[int] = []
+    for p, e in zip(primes, exponents):
+        fs += [p] * e
+    fs.sort(reverse=True)
+    # Greedily merge small factors into radices <= _MAX_BASE
+    radices: List[int] = []
+    cur = 1
+    for f in sorted(fs):
+        if cur * f <= _MAX_BASE:
+            cur *= f
+        else:
+            radices.append(cur)
+            cur = f
+    if cur > 1:
+        radices.append(cur)
+    return sorted(radices, reverse=True)
+
+
+class FFTPlan:
+    """Precomputed tables for a size-N field FFT over GF(q) (N | q-1)."""
+
+    def __init__(self, meta: FieldMeta, N: int, omega_int: int, mode: str):
+        self.meta = meta
+        self.N = N
+        self.mode = mode
+        self.ops = get_ops(meta, mode)
+        from ..fields._hostfield import get_host_field
+
+        hf = get_host_field(meta)
+        if hf.power(omega_int, N) != 1:
+            raise ValueError(f"omega must be an N-th root of unity.")
+
+        # Host power table of omega — built by NumPy doubling when the field
+        # is small, else by Python pow (prime fields) — then placed on device.
+        self.pw = self._build_power_table(hf, omega_int, N)
+
+        # Per-level structure: list of (r, M, twiddle const (M, r), W const (r, r))
+        self.levels: List[Tuple[int, int, jnp.ndarray, jnp.ndarray]] = []
+        radices = _radix_schedule(N)
+        if len(radices) == 1:
+            self.base = N
+            self.base_W = self._dft_matrix(N, stride=1)
+            return
+        size = N
+        stride = 1
+        for r in radices[:-1]:
+            M = size // r
+            k = np.arange(M).reshape(-1, 1)
+            j = np.arange(r).reshape(1, -1)
+            tw_idx = (k * j * stride) % N
+            twiddle = self._gather(tw_idx)
+            W = self._dft_matrix(r, stride=stride * M)
+            self.levels.append((r, M, twiddle, W))
+            size = M
+            stride *= r
+        self.base = size
+        self.base_W = self._dft_matrix(size, stride=stride)
+
+    def _build_power_table(self, hf, omega: int, N: int) -> np.ndarray:
+        """pw[k] = omega^k as int reprs (NumPy int64/object), length N."""
+        q = self.meta.order
+        if q <= 2**62 and self.meta.is_prime_field:
+            p = self.meta.characteristic
+            pw = np.empty(N, dtype=object)
+            pw[0] = 1
+            cur = 1
+            for k in range(1, N):
+                cur = cur * omega % p
+                pw[k] = cur
+            return pw
+        from ..fields._tables import np_multiply
+
+        if q <= 2**20:
+            pw = np.empty(N, dtype=object)
+            cur = 1
+            for k in range(N):
+                pw[k] = cur
+                cur = int(np_multiply(self.meta, np.array([cur]), np.array([omega]))[0])
+            return pw
+        pw = np.empty(N, dtype=object)
+        cur = 1
+        for k in range(N):
+            pw[k] = cur
+            cur = hf.multiply(cur, omega)
+        return pw
+
+    def _gather(self, idx: np.ndarray) -> np.ndarray:
+        # NumPy (not jnp): plans are cached across traces; jnp constants
+        # created under jit would leak tracers.
+        from ..fields._array import _ints_to_storage_np
+
+        vals = self.pw[idx]
+        return _ints_to_storage_np(self.meta, np.asarray(vals, dtype=object))
+
+    def _dft_matrix(self, n: int, stride: int) -> jnp.ndarray:
+        s = np.arange(n).reshape(-1, 1)
+        j = np.arange(n).reshape(1, -1)
+        idx = (s * j * stride) % self.N
+        return self._gather(idx)
+
+    # ------------------------------------------------------------------
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Transform the trailing axis (internal-storage array)."""
+        return _fft_jit(self)(x)
+
+    def transform(self, x: jnp.ndarray) -> jnp.ndarray:
+        ops = self.ops
+        storage_nd = 0 if self.meta.storage == "int" else 1
+
+        def rec(x, level: int):
+            # x: (..., size [, w])
+            size = x.shape[-1 - storage_nd]
+            if level == len(self.levels):
+                return self._apply_dft(x, self.base_W)
+            r, M, twiddle, W = self.levels[level]
+            # x[n], n = r*m + j  ->  (..., M, r)
+            batch = x.shape[: x.ndim - 1 - storage_nd]
+            tail = x.shape[x.ndim - storage_nd :]
+            xr = x.reshape(batch + (M, r) + tail)
+            xr = jnp.moveaxis(xr, -1 - storage_nd, -2 - storage_nd)  # (..., r, M)
+            y = rec(xr, level + 1)                                    # (..., r, M)
+            y = jnp.moveaxis(y, -2 - storage_nd, -1 - storage_nd)     # (..., M, r)
+            z = ops.multiply(y, jnp.asarray(twiddle))
+            # combine: X[s*M + k] = sum_j z[k, j] * W[s, j]
+            out = self._contract(z, W)                                # (..., s, k) -> (..., M, r)?
+            return out
+
+        return rec(x, 0)
+
+    def _apply_dft(self, x, W):
+        """x: (..., n [, w]); W: (n, n [, w]). Returns X[s] = sum_j W[s,j] x[j]."""
+        ops = self.ops
+        storage_nd = 0 if self.meta.storage == "int" else 1
+        # prod[..., s, j] then field-sum over j
+        xj = jnp.expand_dims(x, -2 - storage_nd)            # (..., 1, n)
+        prod = ops.multiply(xj, jnp.asarray(W))             # (..., n, n)
+        return _field_sum(ops, prod, axis=-1 - storage_nd)
+
+    def _contract(self, z, W):
+        """z: (..., M, r); W: (r, r). X[s*M + k] = sum_j z[k,j] W[s,j];
+        output flattened to (..., r*M) with s major."""
+        ops = self.ops
+        storage_nd = 0 if self.meta.storage == "int" else 1
+        zj = jnp.expand_dims(z, -3 - storage_nd)            # (..., 1, M=k, r=j)
+        Wj = jnp.expand_dims(jnp.asarray(W), -2 - storage_nd)  # (r=s, 1, r=j)
+        prod = ops.multiply(zj, Wj)                         # (..., s, k, j)
+        out = _field_sum(ops, prod, axis=-1 - storage_nd)   # (..., s, k)
+        batch = out.shape[: out.ndim - 2 - storage_nd]
+        tail = out.shape[out.ndim - storage_nd :]
+        return out.reshape(batch + (self.N_of(out),) + tail) if False else out.reshape(
+            batch + (out.shape[-2 - storage_nd] * out.shape[-1 - storage_nd],) + tail
+        )
+
+    def N_of(self, out):
+        return self.N
+
+
+def _field_sum(ops, x, axis: int):
+    """Reduce with field addition along `axis` via a binary tree (log depth)."""
+    meta = ops.meta
+    storage_nd = 0 if meta.storage == "int" else 1
+    if axis < 0:
+        axis = x.ndim + axis
+    n = x.shape[axis]
+    while n > 1:
+        half = n // 2
+        a = jax.lax.slice_in_dim(x, 0, half, axis=axis)
+        b = jax.lax.slice_in_dim(x, half, 2 * half, axis=axis)
+        rem = jax.lax.slice_in_dim(x, 2 * half, n, axis=axis)
+        x = jnp.concatenate([ops.add(a, b), rem], axis=axis)
+        n = half + (n - 2 * half)
+    return jnp.squeeze(x, axis=axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _plan(meta: FieldMeta, N: int, omega_int: int, mode: str) -> FFTPlan:
+    return FFTPlan(meta, N, omega_int, mode)
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_jit(plan: FFTPlan):
+    return jax.jit(plan.transform)
+
+
+def _get_omega(cls, N: int) -> int:
+    from ..fields._hostfield import get_host_field
+
+    meta = cls._meta
+    q = meta.order
+    if (q - 1) % N != 0:
+        raise ValueError(
+            f"The FFT size {N} must divide the multiplicative group order {q - 1} of {cls.name}."
+        )
+    hf = get_host_field(meta)
+    return hf.power(meta.primitive_element_int, (q - 1) // N)
+
+
+def fft_data(cls, data, N: int, inverse: bool = False):
+    meta = cls._meta
+    mode = cls._mode if cls._mode != "python-calculate" else meta.default_ufunc_mode
+    omega = _get_omega(cls, N)
+    if inverse:
+        from ..fields._hostfield import get_host_field
+
+        omega = get_host_field(meta).reciprocal(omega)
+    plan = _plan(meta, N, omega, mode)
+    out = _fft_jit(plan)(data)
+    if inverse:
+        from ..fields._hostfield import get_host_field
+
+        hf = get_host_field(meta)
+        n_inv = hf.reciprocal(N % meta.order)
+        ops = get_ops(meta, mode)
+        out = jax.jit(lambda o: ops.multiply(o, ops.from_int_scalar(n_inv)))(out)
+    return out
+
+
+def ifft_data(cls, data, N: int):
+    return fft_data(cls, data, N, inverse=True)
+
+
+def field_fft(x, n=None, axis=-1, norm=None):
+    """np.fft.fft replacement for FieldArrays
+    (reference: src/galois/_domains/_function.py:170-384)."""
+    cls = type(x)
+    if axis != -1:
+        raise ValueError("Argument 'axis' must be -1 (trailing axis).")
+    if norm not in (None, "backward"):
+        raise ValueError("Argument 'norm' must be None or 'backward'.")
+    N = x.shape[-1] if n is None else int(n)
+    x = _pad_or_trim(x, N)
+    out = fft_data(cls, x._data, N)
+    return cls._view(out, x._dtype)
+
+
+def field_ifft(x, n=None, axis=-1, norm=None):
+    cls = type(x)
+    if axis != -1:
+        raise ValueError("Argument 'axis' must be -1 (trailing axis).")
+    N = x.shape[-1] if n is None else int(n)
+    x = _pad_or_trim(x, N)
+    out = ifft_data(cls, x._data, N)
+    return cls._view(out, x._dtype)
+
+
+def _pad_or_trim(x, N: int):
+    cls = type(x)
+    cur = x.shape[-1]
+    if cur == N:
+        return x
+    if cur > N:
+        return x[..., :N] if cls._meta.storage == "int" else x[..., :N]
+    pad_shape = x.shape[:-1] + (N - cur,)
+    pad = cls.Zeros(pad_shape)
+    data = jnp.concatenate([x._data, pad._data], axis=-1 if cls._meta.storage == "int" else -2)
+    return cls._view(data, x._dtype)
