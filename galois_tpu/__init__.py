@@ -16,7 +16,19 @@ _jax.config.update("jax_enable_x64", True)
 __version__ = "0.1.0"
 
 from ._options import get_printoptions, printoptions, set_printoptions  # noqa: E402
-from .fields import GF, GF2, Field, FieldArray, FieldArrayMeta  # noqa: E402
+from .fields import (  # noqa: E402
+    GF,
+    GF2,
+    Field,
+    FieldArray,
+    FieldArrayMeta,
+    is_normal_element,
+    is_primitive_element,
+    normal_element,
+    normal_elements,
+    primitive_element,
+    primitive_elements,
+)
 from .nt import (  # noqa: E402
     carmichael_lambda,
     divisor_sigma,
@@ -54,6 +66,14 @@ from .nt import (  # noqa: E402
     totatives,
     trial_division,
 )
+from .codes import (  # noqa: E402
+    BCH,
+    ReedSolomon,
+    generator_to_parity_check_matrix,
+    parity_check_to_generator_matrix,
+)
+from .lfsr import FLFSR, GLFSR, berlekamp_massey  # noqa: E402
+from .transforms import intt, ntt  # noqa: E402
 from .polys import (  # noqa: E402
     Poly,
     conway_poly,

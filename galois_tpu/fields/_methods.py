@@ -352,3 +352,83 @@ from ._array import FieldArrayMeta  # noqa: E402
 
 FieldArrayMeta.primitive_root_of_unity = _primitive_root_of_unity
 FieldArrayMeta.primitive_roots_of_unity = _primitive_roots_of_unity
+
+
+# ----------------------------------------------------------------------
+# Display tables (reference: src/galois/_fields/_array.py:909-1125)
+# ----------------------------------------------------------------------
+
+@_attach("repr_table")
+def repr_table(self_or_cls=None, sort: str = "power"):
+    raise TypeError("repr_table is a classmethod; call GF.repr_table().")
+
+
+def _repr_table(cls, element=None, sort: str = "power") -> str:
+    """Table of power/polynomial/vector/integer representations."""
+    from ..ops._dlog import host_log
+    from ..polys._conversions import integer_to_poly, poly_to_str
+
+    if sort not in ("power", "int"):
+        raise ValueError(f"Argument 'sort' must be 'power' or 'int', not {sort!r}.")
+    q = cls.order
+    hf = get_host_field(cls._meta)
+    if element is None:
+        alpha = cls._meta.primitive_element_int
+    else:
+        alpha = int(cls(element))
+    rows = [("0", "0", str([0] * cls.degree), "0")]
+    elems = []
+    if sort == "power":
+        cur = 1
+        for i in range(q - 1):
+            elems.append((i, cur))
+            cur = hf.multiply(cur, alpha)
+    else:
+        for e in range(1, q):
+            elems.append((host_log(cls._meta, e, alpha), e))
+        elems.sort(key=lambda t: t[1])
+    for i, e in elems:
+        power = "1" if i == 0 else ("α" if i == 1 else f"α^{i}")
+        poly = poly_to_str(integer_to_poly(e, cls.characteristic), poly_var="α")
+        vec = str(integer_to_poly(e, cls.characteristic, cls.degree - 1))
+        rows.append((power, poly, vec, str(e)))
+    headers = ("Power", "Polynomial", "Vector", "Integer")
+    widths = [max(len(h), max(len(r[i]) for r in rows)) for i, h in enumerate(headers)]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "|" + "|".join(f" {h:^{w}} " for h, w in zip(headers, widths)) + "|", sep]
+    for r in rows:
+        out.append("|" + "|".join(f" {v:^{w}} " for v, w in zip(r, widths)) + "|")
+        out.append(sep)
+    return "\n".join(out)
+
+
+def _arithmetic_table(cls, operation: str, x=None, y=None) -> str:
+    """Table of x op y for all pairs
+    (reference: src/galois/_fields/_array.py:1032-1125)."""
+    if operation not in ("+", "-", "*", "/"):
+        raise ValueError(f"Argument 'operation' must be in ['+', '-', '*', '/'], not {operation!r}.")
+    hf = get_host_field(cls._meta)
+    opfn = {"+": hf.add, "-": hf.subtract, "*": hf.multiply, "/": hf.divide}[operation]
+    xs = [int(v) for v in np.asarray(cls(x), dtype=object)] if x is not None else list(range(cls.order))
+    default_y = list(range(1, cls.order)) if operation == "/" else list(range(cls.order))
+    ys = [int(v) for v in np.asarray(cls(y), dtype=object)] if y is not None else default_y
+
+    def fmt(v):
+        return cls._element_to_str(v)
+
+    rows = []
+    header = [f"x {operation} y"] + [fmt(v) for v in ys]
+    for xv in xs:
+        rows.append([fmt(xv)] + [fmt(opfn(xv, yv)) for yv in ys])
+    widths = [max(len(header[j]), max(len(r[j]) for r in rows)) for j in range(len(header))]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "|" + "|".join(f" {h:^{w}} " for h, w in zip(header, widths)) + "|", sep]
+    for r in rows:
+        out.append("|" + "|".join(f" {v:^{w}} " for v, w in zip(r, widths)) + "|")
+        out.append(sep)
+    return "\n".join(out)
+
+
+FieldArrayMeta.repr_table = _repr_table
+FieldArrayMeta.arithmetic_table = _arithmetic_table
+del FieldArray.repr_table

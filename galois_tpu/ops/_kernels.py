@@ -106,8 +106,8 @@ class FieldOps:
             part = self._pow_ladder(cur, jnp.asarray(w, dtype=jnp.int64).astype(jnp.uint64), nbits=63)
             result = part if result is None else self.multiply(result, part)
             if w_idx < len(words) - 1:
-                for _ in range(63):
-                    cur = self.square(cur)
+                # cur <- cur^(2^63), as a loop so the graph stays small
+                cur = jax.lax.fori_loop(0, 63, lambda i, c: self.square(c), cur)
         return result
 
     def power_static(self, a, e: int):
@@ -117,6 +117,23 @@ class FieldOps:
         if e == 0:
             return self.one_like(a)
         return _pow_static(self.multiply, self.square, a, e, self.one_like(a))
+
+    def _pow_int_compact(self, a, e: int):
+        """a**e via the dynamic ladder with a constant exponent.
+
+        Same result as power_static but with a fori_loop body compiled ONCE —
+        used when one multiply is itself a large graph (limb/digit fields),
+        where a fully unrolled Fermat chain would bloat compile times."""
+        if e < 0:
+            return self._pow_int_compact(self.reciprocal(a), -e)
+        if e == 0:
+            return self.one_like(a)
+        words = []
+        rem = e
+        while rem:
+            words.append(jnp.asarray(rem & ((1 << 63) - 1), dtype=jnp.int64))
+            rem >>= 63
+        return self.power_words(a, words)
 
     def _pow_ladder(self, base, abs_e, nbits: int = 64):
         # Broadcast base and exponent to a common shape so the fori_loop
@@ -479,8 +496,15 @@ class OddExtOps(FieldOps):
     def multiply(self, a, b):
         return self._undigits(self._mul_digits(self._digits(a), self._digits(b)))
 
+    def power_static(self, a, e: int):
+        # Large static exponents use the compact ladder (small XLA graph);
+        # small ones stay unrolled (fewer runtime multiplies).
+        if abs(e).bit_length() > 16:
+            return self._pow_int_compact(a, e)
+        return super().power_static(a, e)
+
     def reciprocal(self, a):
-        return self.power_static(a, self.meta.order - 2)
+        return self._pow_int_compact(a, self.meta.order - 2)
 
     def one_like(self, a):
         if self.int_storage:
@@ -640,8 +664,15 @@ class LimbPrimeOps(FieldOps):
     def subtract(self, a, b):
         return self.add(a, self.negative(b))
 
+    def power_static(self, a, e: int):
+        # Large static exponents use the compact ladder (small XLA graph);
+        # small ones stay unrolled (fewer runtime multiplies).
+        if abs(e).bit_length() > 16:
+            return self._pow_int_compact(a, e)
+        return super().power_static(a, e)
+
     def reciprocal(self, a):
-        return self.power_static(a, self.p_int - 2)
+        return self._pow_int_compact(a, self.p_int - 2)
 
     def one_like(self, a):
         one = jnp.zeros_like(a)
@@ -687,48 +718,63 @@ class LimbBinaryOps(FieldOps):
         return (x[..., i // LIMB_BITS] >> (i % LIMB_BITS)) & 1
 
     def multiply(self, a, b):
+        """Carry-less multiply + reduction, both as lax.scan so the XLA graph
+        is O(1) in m (an unrolled m=100 bit loop is a compile-time hazard)."""
         m, L, PL = self.m, self.L, self.PL
         aw = a.astype(jnp.uint32)
         bw = b.astype(jnp.uint32)
         shape = jnp.broadcast_shapes(aw.shape[:-1], bw.shape[:-1])
         acc = jnp.zeros(shape + (PL,), dtype=jnp.uint32)
-        # shifted copy of a, extended to PL limbs
-        sa = jnp.zeros(aw.shape[:-1] + (PL,), dtype=jnp.uint32)
-        sa = sa.at[..., :L].set(aw)
-        for i in range(m):
-            bit = self._get_bit(bw, i).astype(jnp.uint32)
+        sa = jnp.zeros(shape + (PL,), dtype=jnp.uint32)
+        sa = sa.at[..., :L].set(jnp.broadcast_to(aw, shape + (L,)))
+        bwb = jnp.broadcast_to(bw, shape + (L,))
+
+        word_idx = jnp.asarray(np.arange(m) // LIMB_BITS)
+        bit_sh = jnp.asarray(np.arange(m) % LIMB_BITS, dtype=np.uint32)
+
+        def mul_step(carry, xs):
+            acc, sa = carry
+            wi, sh = xs
+            word = jnp.take(bwb, wi, axis=-1)
+            bit = (word >> sh) & 1
             acc = acc ^ (sa * bit[..., None])
-            if i < m - 1:
-                # shift sa left by one bit across limbs
-                hi = sa >> (LIMB_BITS - 1)
-                sa = (sa << 1) & self.MASK
-                sa = sa.at[..., 1:].set(sa[..., 1:] | hi[..., :-1])
-        # reduce mod f: static constants f << (i-m)
+            hi = sa >> (LIMB_BITS - 1)
+            sa2 = (sa << 1) & self.MASK
+            sa2 = sa2.at[..., 1:].set(sa2[..., 1:] | hi[..., :-1])
+            return (acc, sa2), None
+
+        (acc, _), _ = jax.lax.scan(mul_step, (acc, sa), (word_idx, bit_sh))
+
+        # reduce mod f, high bit first: constants f << (i-m) as scanned rows
         f = self.meta.irreducible_poly_int
-        for i in range(2 * m - 2, m - 1, -1):
-            const = int_to_limbs(f << (i - m), PL)
-            bit = self._get_bit(acc, i).astype(jnp.uint32)
-            acc = acc ^ (jnp.asarray(const, dtype=jnp.uint32) * bit[..., None])
+        idxs = list(range(2 * m - 2, m - 1, -1))
+        consts = np.stack([np.asarray(int_to_limbs(f << (i - m), PL)) for i in idxs]).astype(np.uint32)
+        r_word = jnp.asarray([i // LIMB_BITS for i in idxs])
+        r_sh = jnp.asarray([np.uint32(i % LIMB_BITS) for i in idxs], dtype=jnp.uint32)
+
+        def red_step(acc, xs):
+            const, wi, sh = xs
+            word = jnp.take(acc, wi, axis=-1)
+            bit = (word >> sh) & 1
+            return acc ^ (const * bit[..., None]), None
+
+        acc, _ = jax.lax.scan(red_step, acc, (jnp.asarray(consts), r_word, r_sh))
         return acc[..., : self.L].astype(self.dt)
 
     def square(self, a):
         return self.multiply(a, a)
 
+    def power_static(self, a, e: int):
+        # Large static exponents use the compact ladder (small XLA graph);
+        # small ones stay unrolled (fewer runtime multiplies).
+        if abs(e).bit_length() > 16:
+            return self._pow_int_compact(a, e)
+        return super().power_static(a, e)
+
     def reciprocal(self, a):
-        # Itoh-Tsujii addition chain, as in BinaryExtOps
-        m = self.m
-        t = a
-        k = 1
-        for bit in bin(m - 1)[3:]:
-            tk = t
-            for _ in range(k):
-                tk = self.square(tk)
-            t = self.multiply(tk, t)
-            k *= 2
-            if bit == "1":
-                t = self.multiply(self.square(t), a)
-                k += 1
-        return self.square(t)
+        # Compact ladder: an unrolled Itoh-Tsujii chain of ~m full clmuls
+        # would produce an enormous XLA graph for m > 32.
+        return self._pow_int_compact(a, 2**self.m - 2)
 
     def one_like(self, a):
         one = jnp.zeros_like(a)
@@ -750,10 +796,8 @@ class LimbBinaryOps(FieldOps):
         return le
 
     def sqrt(self, a):
-        r = a
-        for _ in range(self.m - 1):
-            r = self.square(r)
-        return r
+        # a^(2^(m-1)) via the compact ladder
+        return self._pow_int_compact(a, 2 ** (self.m - 1))
 
 
 # ======================================================================

@@ -232,21 +232,26 @@ def _get_omega(cls, N: int) -> int:
     return hf.power(meta.primitive_element_int, (q - 1) // N)
 
 
-def fft_data(cls, data, N: int, inverse: bool = False):
+def fft_data(cls, data, N: int, inverse: bool = False, scale: bool = None):
+    """scale default: False for forward, True for inverse (NumPy 'backward')."""
     meta = cls._meta
     mode = cls._mode if cls._mode != "python-calculate" else meta.default_ufunc_mode
     omega = _get_omega(cls, N)
+    if scale is None:
+        scale = inverse
     if inverse:
         from ..fields._hostfield import get_host_field
 
         omega = get_host_field(meta).reciprocal(omega)
     plan = _plan(meta, N, omega, mode)
     out = _fft_jit(plan)(data)
-    if inverse:
+    if scale:
         from ..fields._hostfield import get_host_field
 
         hf = get_host_field(meta)
-        n_inv = hf.reciprocal(N % meta.order)
+        # Scaling by 1/N: N acts as the N-fold sum of 1, i.e. the prime-
+        # subfield element N mod p (NOT the integer representation N).
+        n_inv = hf.reciprocal(N % meta.characteristic)
         ops = get_ops(meta, mode)
         out = jax.jit(lambda o: ops.multiply(o, ops.from_int_scalar(n_inv)))(out)
     return out
@@ -258,25 +263,31 @@ def ifft_data(cls, data, N: int):
 
 def field_fft(x, n=None, axis=-1, norm=None):
     """np.fft.fft replacement for FieldArrays
-    (reference: src/galois/_domains/_function.py:170-384)."""
+    (reference: src/galois/_domains/_function.py:170-384).
+
+    norm follows NumPy: forward transform scales by 1/N only for
+    norm="forward"."""
     cls = type(x)
     if axis != -1:
         raise ValueError("Argument 'axis' must be -1 (trailing axis).")
-    if norm not in (None, "backward"):
-        raise ValueError("Argument 'norm' must be None or 'backward'.")
+    if norm not in (None, "backward", "forward"):
+        raise ValueError("Argument 'norm' must be None, 'backward', or 'forward'.")
     N = x.shape[-1] if n is None else int(n)
     x = _pad_or_trim(x, N)
-    out = fft_data(cls, x._data, N)
+    out = fft_data(cls, x._data, N, scale=(norm == "forward"))
     return cls._view(out, x._dtype)
 
 
 def field_ifft(x, n=None, axis=-1, norm=None):
+    """Inverse transform; scales by 1/N unless norm="forward"."""
     cls = type(x)
     if axis != -1:
         raise ValueError("Argument 'axis' must be -1 (trailing axis).")
+    if norm not in (None, "backward", "forward"):
+        raise ValueError("Argument 'norm' must be None, 'backward', or 'forward'.")
     N = x.shape[-1] if n is None else int(n)
     x = _pad_or_trim(x, N)
-    out = ifft_data(cls, x._data, N)
+    out = fft_data(cls, x._data, N, inverse=True, scale=(norm != "forward"))
     return cls._view(out, x._dtype)
 
 

@@ -1,0 +1,215 @@
+"""Multi-device sharded NTT via shard_map + all-to-all.
+
+Four-step decomposition of a size-N transform over a D-device mesh
+(SURVEY §7 M6 / BASELINE config 5): N = N1 * N2 with the input viewed
+column-major as v[n1, n2] = x[n2*N1 + n1]:
+
+    X[k1*N2 + k2] = DFT_N1( twiddle(n1, k2) * DFT_N2(v[n1, :]) )
+
+Each local DFT reuses the single-device mixed-radix plan (ops/_ntt.py); the
+two global transposes are all_to_all collectives over the mesh axis, riding
+ICI. Twiddles are a device-resident cached array (not a trace constant) so
+large fields don't bloat the executable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fields._meta import FieldMeta
+from ..ops._kernels import get_ops
+from ..ops._ntt import FFTPlan, _plan
+
+__all__ = ["sharded_fft", "ShardedFFTPlan"]
+
+
+class ShardedFFTPlan:
+    """Plan for a size-N field FFT sharded over `n_devices` devices."""
+
+    def __init__(self, meta: FieldMeta, N: int, omega_int: int, mode: str, mesh: Mesh, axis: str):
+        self.meta = meta
+        self.N = N
+        self.mesh = mesh
+        self.axis = axis
+        D = mesh.shape[axis]
+        self.D = D
+        self.ops = get_ops(meta, mode)
+
+        # Choose N1 as the largest power-of-D-friendly split: N1 * N2 = N with
+        # D | N1 and D | N2 (required for the two transposes).
+        N1 = D
+        while (N1 * 2) * D <= N and N % (N1 * 2) == 0 and (N // (N1 * 2)) % D == 0:
+            N1 *= 2
+        N2 = N // N1
+        if N1 % D or N2 % D:
+            raise ValueError(f"Cannot shard N={N} over {D} devices (need D^2 | N).")
+        self.N1, self.N2 = N1, N2
+
+        from ..fields._hostfield import get_host_field
+
+        hf = get_host_field(meta)
+        if hf.power(omega_int, N) != 1:
+            raise ValueError("omega must be an N-th root of unity.")
+        # Local plans: row DFT of size N2 with root omega^N1; then size N1
+        # with root omega^N2.
+        self.plan2 = _plan(meta, N2, hf.power(omega_int, N1), mode)
+        self.plan1 = _plan(meta, N1, hf.power(omega_int, N2), mode)
+
+        # Twiddle table T[n1, k2] = omega^(n1*k2), built once on device from
+        # row seeds (kept OUT of the executable).
+        self._omega_int = omega_int
+        self._twiddle = None
+
+    def _build_twiddle(self):
+        if self._twiddle is not None:
+            return self._twiddle
+        from ..fields._array import _ints_to_storage_np
+        from ..fields._hostfield import get_host_field
+
+        hf = get_host_field(self.meta)
+        N1, N2 = self.N1, self.N2
+        # row seeds omega^n1 for n1 < N1 (host; N1 is at most ~N/D, but we
+        # build the full table host-side only for moderate N; device geometric
+        # fill for large N).
+        if self.N <= 2**20:
+            T = np.empty((N1, N2), dtype=object)
+            for n1 in range(N1):
+                w = hf.power(self._omega_int, n1)
+                cur = 1
+                for k2 in range(N2):
+                    T[n1, k2] = cur
+                    cur = hf.multiply(cur, w)
+            tw = jnp.asarray(_ints_to_storage_np(self.meta, T))
+        else:
+            # Device fill: T[n1] = cumulative powers of omega^n1 via log-
+            # doubling along k2.
+            seeds = np.empty((N1,), dtype=object)
+            for n1 in range(N1):
+                seeds[n1] = hf.power(self._omega_int, n1)
+            from ..fields._array import _ints_to_storage
+
+            seed_dev = _ints_to_storage(self.meta, seeds)
+            ops = self.ops
+
+            @jax.jit
+            def fill(seed):
+                # T[:, 0] = 1; T[:, k] = seed^k — build by doubling blocks.
+                one = ops.one_like(seed)
+                cols = one[:, None] if self.meta.storage == "int" else one[:, None, :]
+                width = 1
+                cur_pow = seed  # seed^(width)
+                while width < N2:
+                    takew = min(width, N2 - width)
+                    blk = ops.multiply(
+                        cols[:, :takew] if self.meta.storage == "int" else cols[:, :takew, :],
+                        cur_pow[:, None] if self.meta.storage == "int" else cur_pow[:, None, :],
+                    )
+                    cols = jnp.concatenate([cols, blk], axis=1)
+                    cur_pow = ops.multiply(cur_pow, cur_pow)
+                    width *= 2
+                return cols
+
+            tw = fill(seed_dev)
+        self._twiddle = tw
+        return tw
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (N, [w]) global array (sharded or not) -> transformed, ordered
+        naturally, sharded over the mesh axis."""
+        mesh, axis = self.mesh, self.axis
+        meta = self.meta
+        storage_nd = 0 if meta.storage == "int" else 1
+        N1, N2, D = self.N1, self.N2, self.D
+        tw = self._build_twiddle()
+        ops = self.ops
+        plan1, plan2 = self.plan1, self.plan2
+
+        w_tail = x.shape[1:]  # (w,) or ()
+
+        def local_fn(xl, twl):
+            # xl: (N/D, [w]) local contiguous chunk of x.
+            # Global view: M[n2, n1] = x[n2*N1 + n1]; device holds N2/D rows.
+            Ml = xl.reshape((N2 // D, N1) + w_tail)
+            # transpose 1: -> v rows n1 (N1/D, N2)
+            vl = _transpose(Ml, D, axis)
+            # local row DFT size N2 (root omega^N1)
+            Al = plan2.transform(vl)
+            # twiddle: T rows for global n1 of this device
+            Bl = ops.multiply(Al, twl)
+            # transpose 2: -> rows k2 (N2/D, N1)
+            Cl = _transpose(Bl, D, axis)
+            # local row DFT size N1 (root omega^N2)
+            Xl = plan1.transform(Cl)
+            # Xl[k2_local, k1] = X[k1*N2 + k2]; global output natural order
+            # means device d should hold X[d*N/D ... ] = rows k1 of the
+            # (N1, N2) result matrix R[k1, k2] = X[k1*N2+k2].
+            Rl = _transpose(Xl, D, axis)  # rows k1: (N1/D, N2)
+            return Rl.reshape((N // D,) + w_tail)
+
+        from jax.experimental.shard_map import shard_map
+
+        spec_x = P(axis, *([None] * storage_nd))
+        spec_tw = P(axis, None, *([None] * storage_nd))
+        fn = shard_map(
+            local_fn, mesh=mesh, in_specs=(spec_x, spec_tw), out_specs=spec_x,
+            check_rep=False,
+        )
+        N = self.N
+        return fn(x, tw)
+
+
+def _transpose(Ml, D: int, axis: str):
+    """Distributed transpose inside shard_map.
+
+    Ml: local (R/D, C [, w]) rows of a global (R, C) matrix; returns local
+    (C/D, R [, w]) rows of the transposed matrix."""
+    RD = Ml.shape[0]
+    C = Ml.shape[1]
+    tail = Ml.shape[2:]
+    # split columns into D blocks -> (D, R/D, C/D)
+    blocks = Ml.reshape((RD, D, C // D) + tail)
+    blocks = jnp.moveaxis(blocks, 1, 0)
+    # all_to_all: send block e to device e; receive (D, R/D, C/D) where index
+    # j is the block from device j (= rows j*R/D..) of our column slab.
+    recv = jax.lax.all_to_all(blocks, axis, split_axis=0, concat_axis=0, tiled=False)
+    # assemble (R, C/D): concatenate over j along rows
+    slab = recv.reshape((D * RD, C // D) + tail)
+    # transpose rows<->cols
+    perm = (1, 0) + tuple(range(2, slab.ndim))
+    return jnp.transpose(slab, perm)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_plan(meta, N, omega, mode, mesh, axis):
+    return ShardedFFTPlan(meta, N, omega, mode, mesh, axis)
+
+
+def sharded_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool = False):
+    """Transform a 1-D FieldArray (or storage array) of size N over the mesh."""
+    from ..fields._array import FieldArray
+    from ..fields._hostfield import get_host_field
+    from ..ops._ntt import _get_omega
+
+    meta = field_cls._meta
+    mode = field_cls._mode if field_cls._mode != "python-calculate" else meta.default_ufunc_mode
+    data = x._data if isinstance(x, FieldArray) else x
+    N = data.shape[0]
+    omega = _get_omega(field_cls, N)
+    hf = get_host_field(meta)
+    if inverse:
+        omega = hf.reciprocal(omega)
+    plan = ShardedFFTPlan(meta, N, omega, mode, mesh, axis)
+    out = plan(data)
+    if inverse:
+        n_inv = hf.reciprocal(N % meta.characteristic)
+        ops = get_ops(meta, mode)
+        out = jax.jit(lambda o: ops.multiply(o, ops.from_int_scalar(n_inv)))(out)
+    if isinstance(x, FieldArray):
+        return field_cls._view(out, x._dtype)
+    return out

@@ -107,7 +107,7 @@ def str_to_sparse_poly(poly_str: str) -> Tuple[List[int], List[int]]:
 
     Accepts e.g. "x^2 + 2x + 1", "x**2 - 1", "y^3+y", unicode superscripts.
     """
-    s = poly_str.replace(" ", "").replace("**", "^")
+    s = poly_str.replace(" ", "").replace("**", "^").replace("*", "")
     # Normalize unicode superscripts to ^k
     out = []
     i = 0
