@@ -16,6 +16,7 @@ _jax.config.update("jax_enable_x64", True)
 __version__ = "0.1.0"
 
 from ._options import get_printoptions, printoptions, set_printoptions  # noqa: E402
+from . import typing  # noqa: E402
 from .fields import (  # noqa: E402
     GF,
     GF2,
@@ -97,3 +98,6 @@ from ._polymorphic import (  # noqa: E402
     lcm,
     prod,
 )
+
+# The abstract array base class (reference: galois.Array).
+Array = FieldArray

@@ -56,14 +56,26 @@ def _generator_matrix(g: Poly, n: int, k: int, systematic: bool):
     ga = g._asc()
     G = np.zeros((k, n), dtype=object)
     if systematic:
+        # Shift-register construction (reference: _cyclic.py:198-226):
+        # parity row i holds -(x^(n-1-i) mod g). Row k-1 is
+        # x^(n-k) mod g = -(g - x^(n-k)); each row above is x * (row below)
+        # reduced mod g — O(k(n-k)) field ops instead of k pow_mods.
+        deg_g = n - k
+        rem = [F.negative(c) for c in ga[:deg_g]]  # x^(n-k) mod g, ascending
+        rows = [list(rem)]
+        for _ in range(k - 1):
+            hi = rem[-1]
+            rem = [0] + rem[:-1]
+            if hi:
+                for jj in range(deg_g):
+                    rem[jj] = F.subtract(rem[jj], F.multiply(hi, ga[jj]))
+            rows.append(list(rem))
         for i in range(k):
             G[i, i] = 1
-            # parity_i = -(x^(n-1-i) mod g), degree < n-k
-            rem = hp.pow_mod(F, [0, 1], n - 1 - i, ga)
-            rem = hp.neg(F, rem)
-            for deg, coeff in enumerate(rem):
+            rem_i = rows[k - 1 - i]
+            for deg, coeff in enumerate(rem_i):
                 if coeff:
-                    G[i, n - 1 - deg] = coeff
+                    G[i, n - 1 - deg] = F.negative(coeff)
     else:
         for i in range(k):
             # x^(k-1-i) * g(x): coeffs ascending shifted by k-1-i

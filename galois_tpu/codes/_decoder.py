@@ -92,6 +92,27 @@ def make_decoder(
 
     Y = np.array([apow[j] for j in range(n)], dtype=np.int64)  # locators
 
+    def fmatmul(X, Mconst_np):
+        """(B, K) @ (K, N) with a host-constant matrix — MXU bit-planes for
+        binary extension fields, masked field-dot otherwise."""
+        from ..ops._binary_matmul import binary_matmul, supports
+
+        K = X.shape[-1]
+        Md = jnp.asarray(Mconst_np.astype(np.int64)).astype(dt)
+        if supports(ext_meta, K):
+            return binary_matmul(ext_meta, X, Md)
+        prod = ops.multiply(X[:, :, None], Md[None, :, :])
+        out = prod
+        size = out.shape[1]
+        while size > 1:
+            half = size // 2
+            a_ = out[:, :half]
+            b_ = out[:, half : 2 * half]
+            rem = out[:, 2 * half :]
+            out = jnp.concatenate([ops.add(a_, b_), rem], axis=1)
+            size = half + (size - 2 * half)
+        return jnp.squeeze(out, axis=1)
+
     def field_dot(A, B, axis):
         prod = ops.multiply(A, B)
         out = prod
@@ -137,8 +158,7 @@ def make_decoder(
         r_z = jnp.where(era, jnp.zeros_like(r), r)
 
         # 1. syndromes: S[b, l] = sum_j r_z[b, j] * W[j, l]
-        Wd = jnp.asarray(W.astype(np.int64)).astype(dt)
-        S = field_dot(r_z[:, :, None], Wd[None, :, :], axis=1)  # (B, d-1)
+        S = fmatmul(r_z, W)  # (B, d-1)
 
         # 2. erasure locator Gamma (ascending, d coeffs) — one scan over
         # positions so the XLA program stays O(1) in n.
@@ -158,12 +178,14 @@ def make_decoder(
 
         # 4. Berlekamp-Massey on S'[u:] (shift-register formulation; the
         #    variable start u becomes a per-row active mask + gather)
-        C = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
-        Bp = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
-        L = jnp.zeros((B,), dtype=jnp.int32)
-        bb = jnp.ones((B,), dtype=dt)
+        C0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
+        Bp0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
+        L0 = jnp.zeros((B,), dtype=jnp.int32)
+        bb0 = jnp.ones((B,), dtype=dt)
         Sp_pad = jnp.concatenate([Sp, jnp.zeros((B, d), dtype=dt)], axis=1)
-        for t in range(nroots):
+
+        def bm_step(carry, t):
+            C, Bp, L, bb = carry
             active = t < (nroots - u)  # (B,)
             # s-window: s[t - i] = S'[u + t - i] for i = 0..d-1
             idx = (u[:, None] + t) - jnp.arange(d)[None, :]
@@ -179,9 +201,13 @@ def make_decoder(
             grow = upd & (2 * L <= t)
             Bp = jnp.where(grow[:, None], C, Bp_shift)
             bb = jnp.where(grow, delta, bb)
-            L = jnp.where(grow, t + 1 - L, L)
+            L = jnp.where(grow, (t + 1 - L).astype(jnp.int32), L)
             C = jnp.where(upd[:, None], C_new, C)
-            # when not growing, Bp already shifted (x^(m+1) B)
+            return (C, Bp, L, bb), None
+
+        (C, Bp, L, bb), _ = jax.lax.scan(
+            bm_step, (C0, Bp0, L0, bb0), jnp.arange(nroots, dtype=jnp.int32)
+        )
         v = L
 
         fail = fail | (2 * v + u > nroots)
@@ -190,8 +216,7 @@ def make_decoder(
         lam_total = conv_trunc(gamma, C, d)  # (B, d)
 
         # 6. Chien search over design_n positions
-        CHd = jnp.asarray(CH).astype(dt)
-        vals = field_dot(lam_total[:, None, :], CHd[None, :, :], axis=2)  # (B, design_n)
+        vals = fmatmul(lam_total, CH.T)  # (B, design_n)
         root = vals == 0
         if design_n > n:
             fail = fail | jnp.any(root[:, n:], axis=1)
@@ -208,9 +233,9 @@ def make_decoder(
 
         # 9. Forney at every position i < n (masked by root_n):
         #    num = Omega'(a^-i), den = Lambda_total'(a^-i)
-        CHn = CHd[:n, : nroots]  # (n, d-1) powers of a^-i
-        num = field_dot(omega[:, None, :], CHn[None, :, :], axis=2)   # (B, n)
-        den = field_dot(lam_prime[:, None, :], CHn[None, :, :], axis=2)
+        CHn = CH[:n, :nroots]  # (n, d-1) powers of a^-i
+        num = fmatmul(omega, CHn.T)   # (B, n)
+        den = fmatmul(lam_prime, CHn.T)
         fail = fail | jnp.any(root_n & (den == 0), axis=1)
         FPd = jnp.asarray(FP).astype(dt)
         E = ops.multiply(ops.multiply(num, ops.reciprocal(den)), FPd[None, :])

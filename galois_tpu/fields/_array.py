@@ -538,7 +538,7 @@ class FieldArray(metaclass=FieldArrayMeta):
         if for_multiply and _is_integer_like(other):
             # Integer operand to multiply = repeated addition: reduce mod p
             # (reference: src/galois/_domains/_ufunc.py:394-401).
-            arr = np.asarray(other, dtype=object) % cls._meta.characteristic
+            arr = np.asarray(np.asarray(other, dtype=object) % cls._meta.characteristic, dtype=object)
             return cls(arr if arr.ndim else int(arr))
         return cls(other)
 

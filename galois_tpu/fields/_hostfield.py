@@ -134,6 +134,8 @@ class HostField:
 
         if a == 0:
             raise ArithmeticError("0 has no multiplicative order.")
+        if a == 1:
+            return 1
         n = self.q - 1
         primes, _ = factors(n)
         order = n

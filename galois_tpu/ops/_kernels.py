@@ -380,6 +380,13 @@ class BinaryExtOps(FieldOps):
             acc = acc ^ (((aw >> i) & 1) << (2 * i))
         return self._reduce(acc)
 
+    def power_static(self, a, e: int):
+        # Large static exponents use the compact ladder (small XLA graph);
+        # small ones stay unrolled (fewer runtime multiplies).
+        if abs(e).bit_length() > 16:
+            return self._pow_int_compact(a, e)
+        return super().power_static(a, e)
+
     def reciprocal(self, a):
         # Itoh-Tsujii: a^(2^m - 2) = (a^(2^(m-1) - 1))^2 with an addition
         # chain on m-1 (reference: src/galois/_domains/_calculate.py:447-489).

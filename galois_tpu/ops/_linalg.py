@@ -74,7 +74,13 @@ def _matmul_data(meta, mode, a, b, a_vec: bool, b_vec: bool):
         else:
             out = _prime_matmul(a, b, p, K, meta)
     else:
-        out = _generic_matmul(ops, meta, a, b)
+        from ._binary_matmul import binary_matmul, supports
+
+        K = a.shape[-1] if meta.storage == STORAGE_INT else a.shape[-2]
+        if supports(meta, K):
+            out = binary_matmul(meta, a, b)
+        else:
+            out = _generic_matmul(ops, meta, a, b)
 
     if a_vec:
         out = jnp.squeeze(out, axis=-2 - storage_nd)
@@ -196,13 +202,48 @@ def _generic_matmul(ops, meta, a, b):
 
 def row_reduce(A, ncols=None):
     """Row-reduce to reduced row echelon form
-    (reference: src/galois/_domains/_linalg.py:316-352)."""
+    (reference: src/galois/_domains/_linalg.py:316-352).
+
+    Small concrete matrices use exact host elimination (compile-free); large
+    or traced inputs use the masked fixed-trip-count device kernel."""
     cls = type(A)
     if A.ndim != 2:
         raise ValueError(f"Argument 'A' must be 2-D, not {A.ndim}-D.")
     ncols = A.shape[1] if ncols is None else int(ncols)
+    import jax
+
+    if not isinstance(A._data, jax.core.Tracer) and A.size <= 4096:
+        R, _, _ = _host_row_reduce(cls, np.asarray(A, dtype=object), ncols)
+        return cls(R)
     out, _ = _row_reduce_data(cls._meta, _calc_mode(cls), A._data, ncols)
     return cls._view(out, A._dtype)
+
+
+def _host_row_reduce(cls, Anp, ncols):
+    """Exact host RREF. Returns (matrix, rank, pivot_cols)."""
+    from ..fields._hostfield import get_host_field
+
+    hf = get_host_field(cls._meta)
+    M = [[int(v) for v in row] for row in Anp]
+    rows = len(M)
+    pivots = []
+    r = 0
+    for c in range(ncols):
+        piv = next((i for i in range(r, rows) if M[i][c] != 0), None)
+        if piv is None:
+            continue
+        M[r], M[piv] = M[piv], M[r]
+        inv = hf.reciprocal(M[r][c])
+        M[r] = [hf.multiply(v, inv) for v in M[r]]
+        for i in range(rows):
+            if i != r and M[i][c] != 0:
+                f = M[i][c]
+                M[i] = [hf.subtract(v, hf.multiply(f, w)) for v, w in zip(M[i], M[r])]
+        pivots.append(c)
+        r += 1
+        if r == rows:
+            break
+    return np.array(M, dtype=object), r, pivots
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3))
@@ -271,6 +312,11 @@ def _expand(col, meta):
 
 def matrix_rank(A) -> int:
     cls = type(A)
+    import jax
+
+    if not isinstance(A._data, jax.core.Tracer) and A.size <= 4096:
+        _, rank, _ = _host_row_reduce(cls, np.asarray(A, dtype=object), A.shape[1])
+        return rank
     _, pivots = _row_reduce_data(cls._meta, _calc_mode(cls), A._data, A.shape[1])
     return int(pivots)
 
@@ -282,11 +328,17 @@ def inv(A):
     if A.ndim != 2 or A.shape[0] != A.shape[1]:
         raise np.linalg.LinAlgError(f"Argument 'A' must be square, not {A.shape}.")
     n = A.shape[0]
+    import jax
+
+    if not isinstance(A._data, jax.core.Tracer) and A.size <= 4096:
+        Anp = np.asarray(A, dtype=object)
+        AI = np.concatenate([Anp, np.eye(n, dtype=np.int64).astype(object)], axis=1)
+        R, rank, _ = _host_row_reduce(cls, AI, n)
+        if rank != n:
+            raise np.linalg.LinAlgError("Matrix is singular and cannot be inverted.")
+        return cls(R[:, n:])
     I = cls.Identity(n)
-    if cls._meta.storage == STORAGE_INT:
-        AI = jnp.concatenate([A._data, I._data], axis=1)
-    else:
-        AI = jnp.concatenate([A._data, I._data], axis=1)
+    AI = jnp.concatenate([A._data, I._data], axis=1)
     out, pivots = _row_reduce_data(cls._meta, _calc_mode(cls), AI, n)
     if int(pivots) != n:
         raise np.linalg.LinAlgError("Matrix is singular and cannot be inverted.")

@@ -1,0 +1,251 @@
+"""Behavioral API tests (reference analogues: tests/fields/test_classes.py,
+test_constructors.py, test_broadcasting.py, test_pickle.py, ...)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+
+def test_class_identity_and_cache():
+    import galois_tpu as g
+
+    GF1 = g.GF(2**8)
+    GF2_ = g.GF(2**8)
+    assert GF1 is GF2_
+    assert GF1.order == 256 and GF1.characteristic == 2 and GF1.degree == 8
+    assert int(GF1.primitive_element) == 2
+    assert g.GF(31).is_prime_field
+    assert GF1.is_extension_field
+
+
+def test_constructors():
+    import galois_tpu as g
+
+    GF = g.GF(7)
+    assert np.asarray(GF.Zeros((2, 3))).tolist() == [[0, 0, 0], [0, 0, 0]]
+    assert np.asarray(GF.Ones(4)).tolist() == [1, 1, 1, 1]
+    assert np.asarray(GF.Range(1, 5)).tolist() == [1, 2, 3, 4]
+    assert np.asarray(GF.Identity(3)).tolist() == np.eye(3, dtype=int).tolist()
+    r = GF.Random((5, 5), seed=42)
+    assert r.shape == (5, 5) and (np.asarray(r) < 7).all()
+    r2 = GF.Random((5, 5), seed=42)
+    assert np.array_equal(np.asarray(r), np.asarray(r2))
+    V = GF.Vandermonde(3, 3, 3)
+    expect = [[pow(3, i * j, 7) for j in range(3)] for i in range(3)]
+    assert np.asarray(V).tolist() == expect
+
+
+def test_string_and_poly_elements():
+    import galois_tpu as g
+
+    GF = g.GF(2**3)
+    assert int(GF("x^2 + 1")) == 5
+    assert int(GF("α^2 + α")) == 6
+
+
+def test_vector_roundtrip():
+    import galois_tpu as g
+
+    GF = g.GF(3**3)
+    x = GF([0, 1, 5, 22, 26])
+    v = x.vector()
+    assert v.shape == (5, 3)
+    back = GF.Vector(v)
+    assert np.array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_out_of_range_raises():
+    import galois_tpu as g
+
+    GF = g.GF(7)
+    with pytest.raises(ValueError):
+        GF(7)
+    with pytest.raises(ValueError):
+        GF([-1])
+    with pytest.raises(ValueError):
+        GF([[1, 2], [3, 9]])
+
+
+def test_dtype_validation():
+    import galois_tpu as g
+
+    GF = g.GF(3191)
+    assert GF.dtypes == [np.uint16, np.uint32, np.int16, np.int32, np.int64]
+    with pytest.raises(TypeError):
+        GF([1, 2], dtype=np.uint8)
+    x = GF([1, 2], dtype=np.int32)
+    assert x.dtype == np.int32
+    assert np.asarray(x).dtype == np.int32
+
+
+def test_broadcasting_and_scalars():
+    import galois_tpu as g
+
+    GF = g.GF(31)
+    x = GF([[1, 2, 3]])
+    y = GF([[1], [2]])
+    z = x + y
+    assert z.shape == (2, 3)
+    s = GF(5)
+    assert s.ndim == 0
+    assert int(s + 3) == 8
+    assert int(3 + s) == 8
+    # integer multiply = repeated addition (mod p)
+    assert int(s * 100) == (5 * (100 % 31)) % 31
+    out = x[0, 1]
+    assert int(out) == 2
+
+
+def test_ufunc_interception():
+    import galois_tpu as g
+
+    GF = g.GF(2**4)
+    x = GF([1, 5, 9]); y = GF([3, 3, 3])
+    assert np.array_equal(np.asarray(np.add(x, y)), np.asarray(x + y))
+    assert np.array_equal(np.asarray(np.multiply(x, y)), np.asarray(x * y))
+    assert np.array_equal(np.asarray(np.power(x, 3)), np.asarray(x**3))
+    assert np.array_equal(np.asarray(np.negative(x)), np.asarray(-x))
+    with pytest.raises(NotImplementedError):
+        np.sin(x)
+
+
+def test_unsupported_ufunc_raises():
+    import galois_tpu as g
+
+    x = g.GF(7)([1, 2])
+    with pytest.raises(NotImplementedError):
+        np.exp(x)
+
+
+def test_pickle_roundtrip():
+    import galois_tpu as g
+
+    GF = g.GF(3**3, compile="jit-calculate", repr="poly")
+    x = GF([1, 5, 26])
+    data = pickle.dumps(x)
+    y = pickle.loads(data)
+    assert type(y).order == 27
+    assert type(y).ufunc_mode == "jit-calculate"
+    assert type(y).element_repr == "poly"
+    assert np.array_equal(np.asarray(y), np.asarray(x))
+    GF.repr("int")
+    GF.compile("auto")
+    cls = pickle.loads(pickle.dumps(g.GF(2**8)))
+    assert cls is g.GF(2**8)
+
+
+def test_compile_modes_consistent():
+    import galois_tpu as g
+
+    GF = g.GF(3**2)
+    x = GF([1, 4, 8]); y = GF([5, 2, 7])
+    results = {}
+    for mode in GF.ufunc_modes:
+        GF.compile(mode)
+        results[mode] = (
+            np.asarray(x * y).tolist(),
+            np.asarray(x / y).tolist(),
+            np.asarray(x**5).tolist(),
+        )
+    GF.compile("auto")
+    vals = list(results.values())
+    assert all(v == vals[0] for v in vals)
+
+
+def test_element_repr_modes():
+    import galois_tpu as g
+
+    GF = g.GF(2**3)
+    x = GF([0, 1, 3])
+    assert "3" in repr(x)
+    with GF.repr("poly"):
+        assert "α" in repr(x)
+    with GF.repr("power"):
+        assert "α" in repr(x)
+    assert GF.element_repr == "int"
+
+
+def test_jit_vmap_pytree():
+    import jax
+
+    import galois_tpu as g
+
+    GF = g.GF(2**8)
+
+    @jax.jit
+    def f(a, b):
+        return a * b + a
+
+    x = GF([1, 2, 3]); y = GF([4, 5, 6])
+    out = f(x, y)
+    assert isinstance(out, GF)
+    ref = x * y + x
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+    batched = jax.vmap(lambda q: q * q)(GF(np.arange(12).reshape(3, 4) % 256))
+    assert batched.shape == (3, 4)
+
+
+def test_arange_like_iteration():
+    import galois_tpu as g
+
+    GF = g.GF(5)
+    x = GF([1, 2, 3])
+    assert [int(v) for v in x] == [1, 2, 3]
+    assert len(x) == 3
+
+
+def test_properties_strings():
+    import galois_tpu as g
+
+    GF = g.GF(3**2)
+    s = GF.properties
+    assert "GF(3^2)" in s and "irreducible_poly" in s
+    assert "Galois LFSR" not in s
+
+
+def test_typing_exports():
+    import galois_tpu as g
+    from galois_tpu import typing as t
+
+    assert hasattr(t, "ArrayLike") and hasattr(t, "PolyLike")
+
+
+def test_poly_api():
+    import galois_tpu as g
+
+    f = g.Poly([1, 0, 1, 1])
+    assert f.degree == 3
+    assert str(f) == "x^3 + x + 1"
+    assert int(f) == 11
+    assert f == g.Poly.Int(11)
+    assert f == g.Poly.Str("x^3 + x + 1")
+    assert f == g.Poly.Degrees([3, 1, 0])
+    assert f(0) == g.GF2(1)
+    assert np.array_equal(np.asarray(f([0, 1])), [1, 1])
+    g5 = g.Poly([1, 2, 3], field=g.GF(5))
+    assert (g5 * g5).degree == 4
+    q, r = divmod(g5 * g5 + g.Poly([1], field=g.GF(5)), g5)
+    assert q == g5 and r == g.Poly([1], field=g.GF(5))
+    # 3-arg pow
+    m = g.Poly.Degrees([4, 0], field=g.GF(5))
+    assert pow(g5, 6, m) == (g5**6) % m
+    assert g5.reverse() == g.Poly([3, 2, 1], field=g.GF(5))
+    d = g5.derivative()
+    assert d == g.Poly([2, 2], field=g.GF(5))
+
+
+def test_polymorphic_functions():
+    import galois_tpu as g
+
+    assert g.gcd(12, 18) == 6
+    a = g.Poly([1, 0, 1], field=g.GF(3))  # x^2+1
+    b = g.Poly([1, 1], field=g.GF(3))
+    gg, s, t = g.egcd(a, b)
+    assert s * a + t * b == gg
+    assert g.lcm(4, 6) == 12
+    assert g.prod(2, 3, 4) == 24
+    assert g.are_coprime(3, 5, 7)
+    f, m = g.factors(60)
+    assert f == [2, 3, 5] and m == [2, 1, 1]
