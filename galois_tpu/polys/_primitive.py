@@ -21,38 +21,32 @@ __all__ = ["is_primitive", "primitive_poly", "primitive_polys", "matlab_primitiv
 
 
 def is_primitive(poly: Poly) -> bool:
-    """f (monic, degree m, over GF(q)) is primitive iff x has multiplicative
-    order q^m - 1 in GF(q)[x]/(f): equivalently f | x^(q^m-1) - 1 and
-    f does not divide x^((q^m-1)/pi) - 1 for any prime pi | q^m - 1
-    (reference: src/galois/_polys/_primitive.py:28-104)."""
+    """f over GF(q) is primitive iff it is irreducible and f does not divide
+    x^((q^m-1)/pi) - 1 for any prime pi | q^m - 1 (HAC Algorithm 4.77;
+    reference: src/galois/_polys/_primitive.py:28-104). Monicity is NOT
+    required — divisibility is up to units."""
     field = poly.field
     q = field.order
     m = poly.degree
     if m == 0:
         return False
-    if m == 1:
-        # f = x - a primitive iff a is a primitive element of GF(q)
-        from ..fields._hostfield import get_host_field
-
-        a = _hf(field).negative(poly._asc()[0])
-        if a == 0:
-            return False
-        return get_host_field(field._meta).is_primitive_element(a)
-    if not poly.is_monic:
-        return False
+    if q == 2 and m == 1:
+        # The only primitive polynomial over GF(2) of degree 1 is x + 1.
+        return poly._asc() == [1, 1]
     if poly._asc()[0] == 0:
-        return False
+        return False  # zero constant term
     if not is_irreducible(poly):
         return False
 
     F = _hf(field)
+    # normalize monic (divisibility is unaffected)
     f = poly._asc()
+    if f[-1] != 1:
+        f = hp.scalar_mul(F, f, F.reciprocal(f[-1]))
     n = q**m - 1
-    # order of x must be exactly n
-    if hp.pow_mod(F, [0, 1], n, f) != [1]:
-        return False
     primes, _ = int_factors(n)
     for pi in primes:
+        # f | x^(n/pi) - 1  <=>  x^(n/pi) mod f == 1
         if hp.pow_mod(F, [0, 1], n // pi, f) == [1]:
             return False
     return True
