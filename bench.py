@@ -5,9 +5,12 @@ Headline: GF(2^8) elementwise multiply throughput. Reference baseline: 10M
 elements in 33.9 ms jit-lookup on CPU = 0.295 Gops/s
 (docs/performance/binary-extension-fields.rst:43-59).
 
-Elementwise ops are timed as a chain of dependent kernel applications inside
-one jit (fori_loop), so per-op time is dispatch/tunnel-latency free; secondary
-numbers go to stderr.
+Two timings per elementwise kernel:
+- "single": one whole-array op, minus the measured dispatch/tunnel floor —
+  the honest HBM-bound per-op number (what a user's one-off call costs);
+- "fused": a 64-deep dependent chain in one jit — XLA fuses it, so this is
+  the compute-bound ceiling (operands stay in registers/VMEM).
+Headline = single-op number. Secondary numbers go to stderr.
 """
 
 import json
@@ -55,6 +58,26 @@ def time_call(fn, *args, reps=3, warmup=1):
     return best
 
 
+_DISPATCH_FLOOR = None
+
+
+def dispatch_floor():
+    """Measured latency of a trivial device call (tunnel RTT + dispatch)."""
+    global _DISPATCH_FLOOR
+    if _DISPATCH_FLOOR is None:
+        tiny = jnp.zeros((8,), jnp.uint8)
+        f = jax.jit(lambda t: t + 1)
+        _DISPATCH_FLOOR = time_call(f, tiny, reps=10, warmup=3)
+    return _DISPATCH_FLOOR
+
+
+def time_single(op, x, b, reps=5):
+    """Dispatch-corrected single whole-array op time."""
+    f = jax.jit(op)
+    t = time_call(f, x, b, reps=reps, warmup=2)
+    return max(t - dispatch_floor(), 1e-9)
+
+
 def main():
     import galois_tpu as gt
     from galois_tpu.ops._kernels import get_ops
@@ -70,22 +93,22 @@ def main():
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(1, 256, N, dtype=np.int64).astype(np.uint8))
     b = jnp.asarray(rng.integers(1, 256, N, dtype=np.int64).astype(np.uint8))
+    results["dispatch_floor_us"] = dispatch_floor() * 1e6
     best = None
     for mode in ("jit-lookup", "jit-calculate"):
         ops = get_ops(meta, mode)
-        t = time_chained(ops.multiply, a, b)
-        gops = N / t / 1e9
-        results[f"gf256_mul_{mode}_gops"] = gops
-        best = gops if best is None else max(best, gops)
+        t1 = time_single(ops.multiply, a, b)
+        tc = time_chained(ops.multiply, a, b)
+        results[f"gf256_mul_{mode}_gops"] = N / t1 / 1e9
+        results[f"gf256_mul_{mode}_fused_gops"] = N / tc / 1e9
+        best = max(best or 0, N / t1 / 1e9)
     headline = best
-    # implied HBM traffic at 3 bytes/elem (2 in + 1 out, fused chain keeps
-    # operands resident; this is an upper bound on required bandwidth)
+    # implied HBM traffic at 3 bytes/elem (2 in + 1 out)
     results["gf256_mul_implied_GBps"] = best * 3
 
     # --- GF(2^8) add (XOR, pure bandwidth) ---
     ops = get_ops(meta, "jit-calculate")
-    t = time_chained(ops.add, a, b)
-    results["gf256_add_gops"] = N / t / 1e9
+    results["gf256_add_gops"] = N / time_single(ops.add, a, b) / 1e9
 
     # --- 64-bit prime field (Goldilocks) multiply ---
     try:
@@ -96,8 +119,8 @@ def main():
         Ng = N // 8
         ag = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
         bg = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
-        t = time_chained(og.multiply, ag, bg)
-        results["goldilocks_mul_gops"] = Ng / t / 1e9
+        results["goldilocks_mul_gops"] = Ng / time_single(og.multiply, ag, bg) / 1e9
+        results["goldilocks_mul_fused_gops"] = Ng / time_chained(og.multiply, ag, bg) / 1e9
     except Exception as e:  # pragma: no cover
         results["goldilocks_mul_error"] = str(e)
 
@@ -106,8 +129,7 @@ def main():
     om = get_ops(GFm._meta, "jit-calculate")
     am = jnp.asarray(rng.integers(0, 2**31 - 1, N // 2, dtype=np.int64).astype(np.uint32))
     bm = jnp.asarray(rng.integers(0, 2**31 - 1, N // 2, dtype=np.int64).astype(np.uint32))
-    t = time_chained(om.multiply, am, bm)
-    results["gf_m31_mul_gops"] = (N // 2) / t / 1e9
+    results["gf_m31_mul_gops"] = (N // 2) / time_single(om.multiply, am, bm) / 1e9
 
     # --- NTT 2^20 ---
     try:
@@ -124,7 +146,7 @@ def main():
         def fft_chain(x):
             return jax.lax.fori_loop(0, 8, lambda i, acc: plan.transform(acc), x)
 
-        t = time_call(fft_chain, xs) / 8
+        t = max(time_call(fft_chain, xs) - dispatch_floor(), 1e-9) / 8
         results["ntt_2^20_ms"] = t * 1e3
         results["ntt_2^20_xforms_per_s"] = 1.0 / t
     except Exception as e:  # pragma: no cover

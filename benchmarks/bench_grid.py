@@ -1,0 +1,113 @@
+"""Field-arithmetic benchmark grid, mirroring the reference's pytest-benchmark
+suite (reference: benchmarks/test_field_arithmetic.py — GF(2), GF(2^8),
+GF(257), GF(3^5), GF(2^32) x 8 ops) plus FEC and FFT grids
+(reference: benchmarks/test_fec.py, benchmarks/test_fft.py).
+
+Prints a markdown table of per-op times. Elementwise ops are timed as single
+whole-array calls corrected by the measured dispatch floor.
+
+Usage: python benchmarks/bench_grid.py [N]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def block(x):
+    jax.tree_util.tree_map(
+        lambda t: t.block_until_ready() if hasattr(t, "block_until_ready") else t, x
+    )
+
+
+def timeit(fn, *args, reps=5, warmup=2):
+    for _ in range(warmup):
+        block(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        block(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import galois_tpu as gt
+    from galois_tpu.ops._kernels import get_ops
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    rng = np.random.default_rng(0)
+
+    tiny = jnp.zeros((8,), jnp.uint8)
+    floor = timeit(jax.jit(lambda t: t + 1), tiny, reps=10, warmup=3)
+
+    # The reference's benchmark grid fields (benchmarks/test_field_arithmetic.py)
+    grid = [
+        ("GF(2)", 2, "jit-calculate"),
+        ("GF(2^8)", 2**8, "jit-lookup"),
+        ("GF(2^8)", 2**8, "jit-calculate"),
+        ("GF(257)", 257, "jit-lookup"),
+        ("GF(257)", 257, "jit-calculate"),
+        ("GF(3^5)", 3**5, "jit-lookup"),
+        ("GF(3^5)", 3**5, "jit-calculate"),
+        ("GF(2^32)", 2**32, "jit-calculate"),
+    ]
+    opnames = ["add", "subtract", "multiply", "reciprocal", "divide"]
+
+    print(f"| field / mode | {' | '.join(opnames)} | (us, N={N}, floor={floor*1e6:.0f}us)")
+    print("|" + "---|" * (len(opnames) + 2))
+    for name, order, mode in grid:
+        GF = gt.GF(order)
+        ops = get_ops(GF._meta, mode)
+        q = order
+        a = jnp.asarray(rng.integers(1, q, N, dtype=np.int64).astype(GF._meta.internal_dtype))
+        b = jnp.asarray(rng.integers(1, q, N, dtype=np.int64).astype(GF._meta.internal_dtype))
+        cells = []
+        for opname in opnames:
+            fn = getattr(ops, opname)
+            if opname in ("reciprocal",):
+                t = timeit(jax.jit(fn), a)
+            else:
+                t = timeit(jax.jit(fn), a, b)
+            cells.append(f"{max(t - floor, 0) * 1e6:.1f}")
+        print(f"| {name} {mode} | {' | '.join(cells)} |")
+
+    # FEC grid (reference: benchmarks/test_fec.py — BCH(63,39), RS(63,55), N=1000)
+    print()
+    for label, make in [
+        ("BCH(63,39)", lambda: gt.BCH(63, 39)),
+        ("RS(63,55)", lambda: gt.ReedSolomon(63, 55)),
+        ("RS(255,223)", lambda: gt.ReedSolomon(255, 223)),
+    ]:
+        code = make()
+        Ncw = 1000
+        msgs = code.field.Random((Ncw, code.k), seed=1)
+        t_enc = timeit(lambda m: code.encode(m)._data, msgs)
+        cws = code.encode(msgs)
+        noisy = np.asarray(cws, dtype=np.int64)
+        noisy[:, 1] = (noisy[:, 1] + 1) % code.field.order
+        t_dec = timeit(lambda c: code.decode(c)._data, code.field(noisy))
+        print(f"{label}: encode {Ncw} cws: {t_enc*1e3:.2f} ms | decode: {t_dec*1e3:.2f} ms "
+              f"({Ncw/t_dec:.0f} cw/s)")
+
+    # FFT grid (reference: benchmarks/test_fft.py — sizes 256*K)
+    print()
+    from galois_tpu.ops._ntt import field_fft
+
+    for K in (1, 4, 16, 64):
+        n = 256 * K
+        # smallest prime p = m*n + 1
+        m = 1
+        while not gt.is_prime(m * n + 1):
+            m += 1
+        GF = gt.GF(m * n + 1)
+        x = GF.Random(n, seed=K)
+        t = timeit(lambda v: field_fft(v)._data, x)
+        print(f"FFT n={n} over {GF.name}: {max(t-floor,0)*1e6:.1f} us")
+
+
+if __name__ == "__main__":
+    main()

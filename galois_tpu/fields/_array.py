@@ -223,6 +223,27 @@ class FieldArrayMeta(type):
         return cls(elems)
 
     @property
+    def normal_element(cls) -> "FieldArray":
+        """The first normal element of GF(p^m) over GF(p)
+        (reference: src/galois/_fields/_meta.py:350-391)."""
+        from ._normal_element import _conjugate_matrix_rank
+
+        m = cls._meta.degree
+        for e in range(1, cls.order):
+            if _conjugate_matrix_rank(cls, e) == m:
+                return cls(e)
+        return None
+
+    @property
+    def normal_elements(cls) -> "FieldArray":
+        """All normal elements (reference: src/galois/_fields/_meta.py:392-432)."""
+        from ._normal_element import _conjugate_matrix_rank
+
+        m = cls._meta.degree
+        elems = [e for e in range(1, cls.order) if _conjugate_matrix_rank(cls, e) == m]
+        return cls(elems)
+
+    @property
     def squares(cls) -> "FieldArray":
         x = cls.elements
         return x[np.asarray(x.is_square())]

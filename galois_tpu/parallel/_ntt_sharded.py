@@ -41,10 +41,17 @@ class ShardedFFTPlan:
         self.D = D
         self.ops = get_ops(meta, mode)
 
-        # Choose N1 as the largest power-of-D-friendly split: N1 * N2 = N with
+        # Choose N1 ~ sqrt(N) (balanced local DFT sizes) subject to
         # D | N1 and D | N2 (required for the two transposes).
+        import math
+
         N1 = D
-        while (N1 * 2) * D <= N and N % (N1 * 2) == 0 and (N // (N1 * 2)) % D == 0:
+        target = int(math.isqrt(N))
+        while (
+            N1 * 2 <= target
+            and N % (N1 * 2) == 0
+            and (N // (N1 * 2)) % D == 0
+        ):
             N1 *= 2
         N2 = N // N1
         if N1 % D or N2 % D:
