@@ -108,9 +108,11 @@ class FieldMeta:
             self.default_ufunc_mode = "jit-lookup"
         else:
             self.default_ufunc_mode = "jit-calculate"
+        # GF(2) has no lookup mode (bitwise ops are already optimal —
+        # reference: src/galois/_fields/_gf2.py:155-157).
         self.ufunc_modes = (
             ["jit-lookup", "jit-calculate", "python-calculate"]
-            if q <= LOOKUP_TABLE_MAX_ORDER
+            if q <= LOOKUP_TABLE_MAX_ORDER and q > 2
             else ["jit-calculate", "python-calculate"]
         )
 

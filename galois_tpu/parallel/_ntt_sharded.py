@@ -72,6 +72,7 @@ class ShardedFFTPlan:
         # row seeds (kept OUT of the executable).
         self._omega_int = omega_int
         self._twiddle = None
+        self._jitted = None
 
     def _build_twiddle(self):
         if self._twiddle is not None:
@@ -159,16 +160,23 @@ class ShardedFFTPlan:
             Rl = _transpose(Xl, D, axis)  # rows k1: (N1/D, N2)
             return Rl.reshape((N // D,) + w_tail)
 
-        from jax.experimental.shard_map import shard_map
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.experimental.shard_map import shard_map
 
         spec_x = P(axis, *([None] * storage_nd))
         spec_tw = P(axis, None, *([None] * storage_nd))
-        fn = shard_map(
-            local_fn, mesh=mesh, in_specs=(spec_x, spec_tw), out_specs=spec_x,
-            check_rep=False,
-        )
         N = self.N
-        return fn(x, tw)
+        if self._jitted is None:
+            self._jitted = jax.jit(
+                shard_map(
+                    local_fn, mesh=mesh, in_specs=(spec_x, spec_tw),
+                    out_specs=spec_x, check_rep=False,
+                )
+            )
+        return self._jitted(x, tw)
 
 
 def _transpose(Ml, D: int, axis: str):

@@ -1,0 +1,71 @@
+"""Multi-device sharded NTT tests (8-device virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]).reshape(8), ("x",))
+
+
+def test_sharded_ntt_prime(mesh):
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import field_fft
+    from galois_tpu.parallel._ntt_sharded import sharded_fft
+
+    F = g.GF(3 * 2**30 + 1)
+    x = F.Random(2**12, seed=5)
+    X = sharded_fft(F, x, mesh, "x")
+    assert np.array_equal(np.asarray(X), np.asarray(field_fft(x)))
+    xi = sharded_fft(F, X, mesh, "x", inverse=True)
+    assert np.array_equal(np.asarray(xi), np.asarray(x))
+
+
+def test_sharded_ntt_goldilocks(mesh):
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import field_fft
+    from galois_tpu.parallel._ntt_sharded import sharded_fft
+
+    F = g.GF(2**64 - 2**32 + 1)
+    x = F.Random(1024, seed=6)
+    X = sharded_fft(F, x, mesh, "x")
+    assert np.array_equal(
+        np.asarray(X, dtype=object), np.asarray(field_fft(x), dtype=object)
+    )
+
+
+def test_sharded_ntt_bls12_381(mesh):
+    """Config 5 groundwork: NTT over the BLS12-381 scalar field (16 limbs)."""
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import field_fft
+    from galois_tpu.parallel._ntt_sharded import sharded_fft
+
+    r = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+    F = g.GF(r, primitive_element=7, verify=False)
+    assert F._meta.storage_width == 16
+    x = F.Random(256, seed=7)
+    X = sharded_fft(F, x, mesh, "x")
+    assert np.array_equal(
+        np.asarray(X, dtype=object), np.asarray(field_fft(x), dtype=object)
+    )
+    xi = sharded_fft(F, X, mesh, "x", inverse=True)
+    assert np.array_equal(np.asarray(xi, dtype=object), np.asarray(x, dtype=object))
+
+
+def test_sharded_matches_batch_of_sizes(mesh):
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import field_fft
+    from galois_tpu.parallel._ntt_sharded import sharded_fft
+
+    F = g.GF(257)
+    for N in (64, 128, 256):
+        x = F.Random(N, seed=N)
+        X = sharded_fft(F, x, mesh, "x")
+        assert np.array_equal(np.asarray(X), np.asarray(field_fft(x)))
