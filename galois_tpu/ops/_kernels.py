@@ -807,6 +807,115 @@ class LimbBinaryOps(FieldOps):
         return self._pow_int_compact(a, 2 ** (self.m - 1))
 
 
+
+class GoldilocksOps(LimbPrimeOps):
+    """Specialized kernels for p = 2^64 - 2^32 + 1 ("Goldilocks").
+
+    Uses the identity 2^64 = 2^32 - 1 (mod p): a 128-bit product folds to
+    64 bits with a handful of 32-bit-lane operations instead of the generic
+    Barrett pipeline. Storage stays 4 x uint16 limbs; compute runs in uint64
+    lanes (32-bit pairs on TPU).
+    """
+
+    P_INT = 2**64 - 2**32 + 1
+    _M32 = (1 << 32) - 1
+
+    def _to_u64(self, a):
+        aw = a.astype(jnp.uint64)
+        return (
+            aw[..., 0]
+            | (aw[..., 1] << 16)
+            | (aw[..., 2] << 32)
+            | (aw[..., 3] << 48)
+        )
+
+    def _from_u64(self, x):
+        out = jnp.stack(
+            [
+                x & 0xFFFF,
+                (x >> 16) & 0xFFFF,
+                (x >> 32) & 0xFFFF,
+                (x >> 48) & 0xFFFF,
+            ],
+            axis=-1,
+        )
+        return out.astype(self.dt)
+
+    def _canon(self, x):
+        # x < 2^64; subtract p once if x >= p
+        return jnp.where(x >= jnp.uint64(self.P_INT), x - jnp.uint64(self.P_INT), x)
+
+    def add(self, a, b):
+        x = self._to_u64(a)
+        y = self._to_u64(b)
+        p = jnp.uint64(self.P_INT)
+        # compute (x + y) mod p without 65-bit overflow: add y - p (wraps)
+        s = x + (y - p)  # = x + y - p mod 2^64
+        overflowed = s > x  # no wrap happened => x + y < p ... detect via wrap
+        # If x + y - p underflowed (x + y < p), s wrapped above 2^63-ish;
+        # detect underflow: y - p wraps to y + 2^64 - p, so s = x + y + (2^64-p)
+        # mod 2^64. Underflow of the conceptual x+y-p happened iff s > x when
+        # y < p (always). Simpler robust route below.
+        lo = x + y
+        carried = lo < x  # wrapped past 2^64
+        red = jnp.where(carried, lo + jnp.uint64(self._M32), lo)  # +2^64 mod p = +(2^32-1)
+        # red may still exceed p
+        return self._from_u64(self._canon(red))
+
+    def negative(self, a):
+        x = self._to_u64(a)
+        p = jnp.uint64(self.P_INT)
+        return self._from_u64(jnp.where(x == 0, x, p - x))
+
+    def subtract(self, a, b):
+        x = self._to_u64(a)
+        y = self._to_u64(b)
+        p = jnp.uint64(self.P_INT)
+        d = x - y
+        borrow = x < y
+        return self._from_u64(jnp.where(borrow, d + p, d))
+
+    def multiply(self, a, b):
+        x = self._to_u64(a)
+        y = self._to_u64(b)
+        m32 = jnp.uint64(self._M32)
+        x0 = x & m32
+        x1 = x >> 32
+        y0 = y & m32
+        y1 = y >> 32
+        # 128-bit product via 4 32x32->64 partials
+        z00 = x0 * y0
+        z01 = x0 * y1
+        z10 = x1 * y0
+        z11 = x1 * y1
+        # mid = z01 + z10 (can be 65 bits — track carry)
+        mid = z01 + z10
+        mid_carry = (mid < z01).astype(jnp.uint64)  # carry into bit 64+32
+        lo = z00 + ((mid & m32) << 32)
+        lo_carry = (lo < z00).astype(jnp.uint64)
+        hi = z11 + (mid >> 32) + (mid_carry << 32) + lo_carry
+        # reduce: n = hi*2^64 + lo; 2^64 = 2^32 - 1 (mod p)
+        # split hi = h1*2^32 + h0:
+        h0 = hi & m32
+        h1 = hi >> 32
+        # n = lo + h0*(2^32-1) + h1*(2^64 - 2^32)
+        #   = lo + h0*2^32 - h0 + h1*(2^32-1)*2^32 ... use known identity:
+        # n mod p = lo - h1 + h0*(2^32-1)  (with borrow/carry fixups)
+        t = lo - h1
+        borrow = lo < h1
+        # On underflow the wrap already added 2^64 = p + (2^32 - 1) (mod p),
+        # so subtract (2^32 - 1) to land on (lo - h1) + p.
+        t = jnp.where(borrow, t - m32, t)
+        u = h0 * m32  # h0 * (2^32 - 1) < 2^64
+        r = t + u
+        carried = r < t
+        r = jnp.where(carried, r + m32, r)  # wrap adds 2^64 = +(2^32-1) mod p
+        return self._from_u64(self._canon(r))
+
+    def reciprocal(self, a):
+        return self._pow_int_compact(a, self.P_INT - 2)
+
+
 # ======================================================================
 # Lookup-table overlay (order <= 2^20, int storage)
 # ======================================================================
@@ -915,7 +1024,12 @@ def get_ops(meta: FieldMeta, mode: str):
     """
     p, m = meta.characteristic, meta.degree
     if meta.storage == STORAGE_LIMBS:
-        calc = LimbBinaryOps(meta) if p == 2 else LimbPrimeOps(meta)
+        if p == 2:
+            calc = LimbBinaryOps(meta)
+        elif p == 2**64 - 2**32 + 1:
+            calc = GoldilocksOps(meta)
+        else:
+            calc = LimbPrimeOps(meta)
     elif m == 1:
         calc = GF2Ops(meta) if p == 2 else PrimeOps(meta)
     elif p == 2:
