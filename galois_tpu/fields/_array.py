@@ -1070,9 +1070,11 @@ def _host_sqrt(hf, a: int) -> int:
     if q % 4 == 3:
         r = hf.power(a, (q + 1) // 4)
     elif q % 8 == 5:
-        t = hf.power(a, (q - 5) // 8)
-        b = hf.multiply(hf.add(a, a), hf.multiply(t, t))
-        r = hf.multiply(hf.multiply(a, t), hf.subtract(b, 1))
+        # Atkin: t = (2a)^((q-5)/8), i = 2a t^2, root = a t (i - 1)
+        a2 = hf.add(a, a)
+        t = hf.power(a2, (q - 5) // 8)
+        i_val = hf.multiply(a2, hf.multiply(t, t))
+        r = hf.multiply(hf.multiply(a, t), hf.subtract(i_val, 1))
     else:
         Q, S = q - 1, 0
         while Q % 2 == 0:

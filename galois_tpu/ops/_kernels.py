@@ -180,13 +180,13 @@ class FieldOps:
         if q % 4 == 3:
             root = self.power_static(a, (q + 1) // 4)
         elif q % 8 == 5:
-            # Atkin's algorithm
-            t = self.power_static(a, (q - 5) // 8)
+            # Atkin: t = (2a)^((q-5)/8), i = 2a t^2, root = a t (i - 1)
             a2 = self.add(a, a)
-            b = self.multiply(a2, self.square(t))
+            t = self.power_static(a2, (q - 5) // 8)
+            i_val = self.multiply(a2, self.square(t))
             root = self.multiply(
                 self.multiply(a, t),
-                self.subtract(b, self.one_like(a)),
+                self.subtract(i_val, self.one_like(a)),
             )
         else:
             root = self._tonelli_shanks(a)
