@@ -739,7 +739,54 @@ class FieldArray(metaclass=FieldArrayMeta):
     # NumPy protocol interception
     # ------------------------------------------------------------------
 
+    # -- reductions (reference: ndarray-inherited add.reduce etc., with the
+    # reduce-dtype fix at src/galois/_domains/_ufunc.py:684-687) --
+
+    def _reduce(self, opname: str, axis=None):
+        cls = type(self)
+        data = self._data
+        storage_nd = self._storage_ndim()
+        ops = _raw_ops(cls._meta, cls._mode if cls._mode != "python-calculate" else cls._meta.default_ufunc_mode)
+        if axis is None:
+            flat = data.reshape((-1,) + data.shape[data.ndim - storage_nd :])
+            axis = 0
+        else:
+            flat = jnp.moveaxis(data, axis, 0)
+            axis = 0
+
+        @jax.jit
+        def run(x):
+            n = x.shape[0]
+            out = x
+            while out.shape[0] > 1:
+                half = out.shape[0] // 2
+                a = out[:half]
+                b = out[half : 2 * half]
+                rem = out[2 * half :]
+                combined = getattr(ops, opname)(a, b)
+                out = jnp.concatenate([combined, rem], axis=0)
+            return out[0]
+
+        return cls._view(run(flat), self._dtype)
+
+    def sum(self, axis=None):
+        return self._reduce("add", axis)
+
+    def prod(self, axis=None):
+        return self._reduce("multiply", axis)
+
+    def dot(self, other):
+        from ..ops._linalg import matmul
+
+        o = self._coerce(other)
+        if self.ndim == 1 and o.ndim == 1:
+            return matmul(self, o)
+        return matmul(self, o)
+
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method == "reduce" and ufunc.__name__ in ("add", "multiply"):
+            recv = next(x for x in inputs if isinstance(x, FieldArray))
+            return recv._reduce(ufunc.__name__, kwargs.get("axis", None))
         if method != "__call__":
             return _ufunc_reduce(self, ufunc, method, *inputs, **kwargs)
         name = ufunc.__name__

@@ -47,6 +47,10 @@ def dispatch(self, func, args, kwargs):
     if func is np.vdot:
         a, b = args
         return _linalg.matmul(cls(a).flatten(), cls(b).flatten())
+    if func is np.sum:
+        return args[0].sum(axis=kwargs.get("axis", args[1] if len(args) > 1 else None))
+    if func is np.prod:
+        return args[0].prod(axis=kwargs.get("axis", args[1] if len(args) > 1 else None))
     if func is np.linalg.det:
         return _linalg.det(args[0])
     if func is np.linalg.inv:
