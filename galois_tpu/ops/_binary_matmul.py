@@ -56,21 +56,34 @@ def _reduction_rows(meta: FieldMeta):
 
 
 def binary_matmul(meta: FieldMeta, a, b):
-    """a: (..., M, K), b: (..., K, N) uint arrays of GF(2^m) int reprs."""
+    """a: (..., M, K), b: (..., K, N) uint arrays of GF(2^m) int reprs.
+
+    All m^2 plane products come from ONE stacked MXU matmul:
+    (m*M, K) @ (K, m*N) — block (i, j) is A_i @ B_j."""
     m = meta.degree
+    M, K = a.shape[-2], a.shape[-1]
+    N = b.shape[-1]
     a32 = a.astype(jnp.int32)
     b32 = b.astype(jnp.int32)
-    abits = [((a32 >> i) & 1).astype(jnp.float32) for i in range(m)]
-    bbits = [((b32 >> j) & 1).astype(jnp.float32) for j in range(m)]
+    astack = jnp.concatenate(
+        [((a32 >> i) & 1).astype(jnp.float32) for i in range(m)], axis=-2
+    )  # (..., m*M, K)
+    bstack = jnp.concatenate(
+        [((b32 >> j) & 1).astype(jnp.float32) for j in range(m)], axis=-1
+    )  # (..., K, m*N)
+    big = jnp.matmul(astack, bstack, preferred_element_type=jnp.float32)
+    big = big.astype(jnp.int32) & 1  # parity of each A_i @ B_j block
+
+    def block(i, j):
+        return big[..., i * M : (i + 1) * M, j * N : (j + 1) * N]
 
     prod_bits = []
     for k in range(2 * m - 1):
         acc = None
         for i in range(max(0, k - m + 1), min(m, k + 1)):
-            j = k - i
-            t = jnp.matmul(abits[i], bbits[j], preferred_element_type=jnp.float32)
-            acc = t if acc is None else acc + t
-        prod_bits.append(acc.astype(jnp.int32) & 1)
+            t = block(i, k - i)
+            acc = t if acc is None else acc ^ t
+        prod_bits.append(acc)
 
     R = _reduction_rows(meta)
     out = jnp.zeros_like(prod_bits[0])

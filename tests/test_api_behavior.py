@@ -249,3 +249,23 @@ def test_polymorphic_functions():
     assert g.are_coprime(3, 5, 7)
     f, m = g.factors(60)
     assert f == [2, 3, 5] and m == [2, 1, 1]
+
+
+def test_printoptions():
+    import galois_tpu as g
+
+    f = g.Poly([3, 0, 5, 2], field=g.GF(7))
+    assert str(f) == "3x^3 + 5x + 2"
+    with g.printoptions(coeffs="asc"):
+        assert str(f) == "2 + 5x + 3x^3"
+    assert str(f) == "3x^3 + 5x + 2"
+    assert g.get_printoptions()["coeffs"] == "desc"
+
+
+def test_field_repr_and_str():
+    import galois_tpu as g
+
+    GF = g.GF(3**2)
+    x = GF([0, 4, 8])
+    r = repr(x)
+    assert r.startswith("GF([") and "order=9" in r
