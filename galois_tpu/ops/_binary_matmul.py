@@ -29,13 +29,11 @@ __all__ = ["binary_matmul", "supports"]
 
 
 def supports(meta: FieldMeta, K: int) -> bool:
-    # m^2 plane matmuls: cap m so compile cost stays small (GF(2^32) would
-    # emit 1024 matmuls per shape; it takes the scan path instead).
     return (
         meta.characteristic == 2
-        and 1 < meta.degree <= 16
+        and 1 < meta.degree <= 32
         and meta.storage == "int"
-        and meta.degree * K < 2**24  # parity sums exact in f32
+        and K < 2**24  # per-block parity sums exact in f32
     )
 
 
