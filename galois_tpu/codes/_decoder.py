@@ -95,12 +95,17 @@ def make_decoder(
     def fmatmul(X, Mconst_np):
         """(B, K) @ (K, N) with a host-constant matrix — MXU bit-planes for
         binary extension fields, masked field-dot otherwise."""
-        from ..ops._binary_matmul import binary_matmul, supports
+        from ..ops._binary_matmul import binary_matmul
+        from ..ops._binary_matmul import supports as bin_supports
+        from ..ops._digit_matmul import digit_matmul
+        from ..ops._digit_matmul import supports as dig_supports
 
         K = X.shape[-1]
         Md = jnp.asarray(Mconst_np.astype(np.int64)).astype(dt)
-        if supports(ext_meta, K):
+        if bin_supports(ext_meta, K):
             return binary_matmul(ext_meta, X, Md)
+        if dig_supports(ext_meta, K):
+            return digit_matmul(ext_meta, X, Md)
         prod = ops.multiply(X[:, :, None], Md[None, :, :])
         out = prod
         size = out.shape[1]

@@ -74,11 +74,16 @@ def _matmul_data(meta, mode, a, b, a_vec: bool, b_vec: bool):
         else:
             out = _prime_matmul(a, b, p, K, meta)
     else:
-        from ._binary_matmul import binary_matmul, supports
+        from ._binary_matmul import binary_matmul
+        from ._binary_matmul import supports as bin_supports
+        from ._digit_matmul import digit_matmul
+        from ._digit_matmul import supports as dig_supports
 
         K = a.shape[-1] if meta.storage == STORAGE_INT else a.shape[-2]
-        if supports(meta, K):
+        if bin_supports(meta, K):
             out = binary_matmul(meta, a, b)
+        elif dig_supports(meta, K):
+            out = digit_matmul(meta, a, b)
         else:
             out = _generic_matmul(ops, meta, a, b)
 
