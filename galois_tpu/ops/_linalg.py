@@ -115,7 +115,8 @@ def _prime_matmul(a, b, p, K, meta):
 
     CPU: exact int64 matmul with K-blocking so block sums stay < 2^62.
     """
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" or (p - 1) ** 2 * K >= 2**62:
+        # Plane path also serves CPU when int64 accumulation would overflow.
         return _prime_matmul_planes(a, b, p, K)
     max_block = max(1, (2**62) // max(1, (p - 1) ** 2))
     a64 = a.astype(jnp.int64)
@@ -140,10 +141,11 @@ def _prime_matmul_planes(a, b, p, K):
     n_planes = -(-max(1, (p - 1).bit_length()) // _PLANE_BITS)
     # int32 accumulation is exact while K*127^2 < 2^31
     max_block = (2**31 - 1) // ((_PLANE_BASE - 1) ** 2)
-    a32 = a.astype(jnp.int32)
-    b32 = b.astype(jnp.int32)
-    a_planes = [((a32 >> (_PLANE_BITS * i)) & (_PLANE_BASE - 1)).astype(jnp.int8) for i in range(n_planes)]
-    b_planes = [((b32 >> (_PLANE_BITS * j)) & (_PLANE_BASE - 1)).astype(jnp.int8) for j in range(n_planes)]
+    # int64 extraction: values up to p-1 can exceed int32 for p near 2^32
+    a64 = a.astype(jnp.int64)
+    b64 = b.astype(jnp.int64)
+    a_planes = [((a64 >> (_PLANE_BITS * i)) & (_PLANE_BASE - 1)).astype(jnp.int8) for i in range(n_planes)]
+    b_planes = [((b64 >> (_PLANE_BITS * j)) & (_PLANE_BASE - 1)).astype(jnp.int8) for j in range(n_planes)]
     acc = None
     for i in range(n_planes):
         for j in range(n_planes):

@@ -164,10 +164,30 @@ class FFTPlan:
 
         return rec(x, 0)
 
+    def _is_prime_int(self):
+        return self.meta.is_prime_field and self.meta.storage == "int" and self.meta.characteristic > 2
+
+    def _mod_matmul(self, x, W_T_np):
+        """x (..., K) @ W_T (K, S) mod p — MXU plane path / int64 path."""
+        from ._linalg import _prime_matmul
+
+        p = self.meta.characteristic
+        Wd = jnp.asarray(W_T_np.astype(np.int64))
+        K = x.shape[-1]
+        squeeze = False
+        if x.ndim == 1:
+            x = x[None, :]
+            squeeze = True
+        out = _prime_matmul(x, Wd, p, K, self.meta)
+        return (out[0] if squeeze else out).astype(x.dtype)
+
     def _apply_dft(self, x, W):
         """x: (..., n [, w]); W: (n, n [, w]). Returns X[s] = sum_j W[s,j] x[j]."""
         ops = self.ops
         storage_nd = 0 if self.meta.storage == "int" else 1
+        if self._is_prime_int():
+            # Contraction as a modular matmul: X = x @ W^T.
+            return self._mod_matmul(x, np.asarray(W).T.astype(np.int64))
         # prod[..., s, j] then field-sum over j
         xj = jnp.expand_dims(x, -2 - storage_nd)            # (..., 1, n)
         prod = ops.multiply(xj, jnp.asarray(W))             # (..., n, n)
@@ -178,13 +198,18 @@ class FFTPlan:
         output flattened to (..., r*M) with s major."""
         ops = self.ops
         storage_nd = 0 if self.meta.storage == "int" else 1
+        if self._is_prime_int():
+            ks = self._mod_matmul(z, np.asarray(W).T.astype(np.int64))  # (..., k, s)
+            out = jnp.swapaxes(ks, -1, -2)                              # (..., s, k)
+            batch = out.shape[:-2]
+            return out.reshape(batch + (out.shape[-2] * out.shape[-1],))
         zj = jnp.expand_dims(z, -3 - storage_nd)            # (..., 1, M=k, r=j)
         Wj = jnp.expand_dims(jnp.asarray(W), -2 - storage_nd)  # (r=s, 1, r=j)
         prod = ops.multiply(zj, Wj)                         # (..., s, k, j)
         out = _field_sum(ops, prod, axis=-1 - storage_nd)   # (..., s, k)
         batch = out.shape[: out.ndim - 2 - storage_nd]
         tail = out.shape[out.ndim - storage_nd :]
-        return out.reshape(batch + (self.N_of(out),) + tail) if False else out.reshape(
+        return out.reshape(
             batch + (out.shape[-2 - storage_nd] * out.shape[-1 - storage_nd],) + tail
         )
 
