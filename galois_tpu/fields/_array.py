@@ -65,6 +65,20 @@ def _ints_to_storage_np(meta: FieldMeta, arr: np.ndarray) -> np.ndarray:
         return arr.astype(np.int64).astype(meta.internal_dtype)
     flat = arr.reshape(-1)
     w = meta.storage_width
+    if flat.dtype != object:
+        # vectorized decomposition from int64 values
+        x = flat.astype(np.int64)
+        out = np.empty((flat.size, w), dtype=np.int64)
+        if meta.storage == STORAGE_DIGITS:
+            p = meta.characteristic
+            for i in range(w):
+                out[:, i] = x % p
+                x = x // p
+        else:
+            for i in range(w):
+                out[:, i] = x & 0xFFFF
+                x = x >> 16
+        return out.reshape(arr.shape + (w,)).astype(meta.internal_dtype)
     out = np.empty((flat.size, w), dtype=np.int64)
     if meta.storage == STORAGE_DIGITS:
         for i, x in enumerate(flat):
@@ -86,7 +100,14 @@ def _storage_to_ints(meta: FieldMeta, data: np.ndarray) -> np.ndarray:
         return data.astype(np.int64)
     flat = data.reshape(-1, meta.storage_width)
     use_object = meta.order > 2**63
-    out = np.empty(flat.shape[0], dtype=object if use_object else np.int64)
+    if not use_object:
+        # vectorized recombination fits int64
+        if meta.storage == STORAGE_DIGITS:
+            weights = meta.characteristic ** np.arange(meta.storage_width, dtype=np.int64)
+        else:
+            weights = (1 << (16 * np.arange(meta.storage_width))).astype(np.int64)
+        return (flat.astype(np.int64) * weights).sum(axis=1).reshape(data.shape[:-1])
+    out = np.empty(flat.shape[0], dtype=object)
     if meta.storage == STORAGE_DIGITS:
         for i in range(flat.shape[0]):
             out[i] = meta.digits_to_int(flat[i])

@@ -95,13 +95,21 @@ def _matmul_data(meta, mode, a, b, a_vec: bool, b_vec: bool):
 
 
 def _gf2_matmul(a, b, K):
-    """GF(2) matmul on the MXU via f32 (exact for K < 2^24)."""
-    if K < 2**24:
-        c = jnp.matmul(a.astype(jnp.float32), b.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-        return (c.astype(jnp.int64) & 1).astype(a.dtype)
-    c = jnp.matmul(a.astype(jnp.int64), b.astype(jnp.int64))
-    return (c & 1).astype(a.dtype)
+    """GF(2) matmul on the MXU via f32 (exact for K < 2^24); larger K is
+    processed in blocks whose parities XOR together (64-bit contractions do
+    not lower on TPU)."""
+    blk = 2**23
+    acc = None
+    for s in range(0, K, blk):
+        e = min(K, s + blk)
+        c = jnp.matmul(
+            a[..., s:e].astype(jnp.float32),
+            b[..., s:e, :].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        part = c.astype(jnp.int32) & 1
+        acc = part if acc is None else acc ^ part
+    return acc.astype(a.dtype)
 
 
 def _prime_matmul(a, b, p, K, meta):
