@@ -358,11 +358,6 @@ FieldArrayMeta.primitive_roots_of_unity = _primitive_roots_of_unity
 # Display tables (reference: src/galois/_fields/_array.py:909-1125)
 # ----------------------------------------------------------------------
 
-@_attach("repr_table")
-def repr_table(self_or_cls=None, sort: str = "power"):
-    raise TypeError("repr_table is a classmethod; call GF.repr_table().")
-
-
 def _repr_table(cls, element=None, sort: str = "power") -> str:
     """Table of power/polynomial/vector/integer representations."""
     from ..ops._dlog import host_log
@@ -431,4 +426,3 @@ def _arithmetic_table(cls, operation: str, x=None, y=None) -> str:
 
 FieldArrayMeta.repr_table = _repr_table
 FieldArrayMeta.arithmetic_table = _arithmetic_table
-del FieldArray.repr_table

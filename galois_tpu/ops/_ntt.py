@@ -213,9 +213,6 @@ class FFTPlan:
             batch + (out.shape[-2 - storage_nd] * out.shape[-1 - storage_nd],) + tail
         )
 
-    def N_of(self, out):
-        return self.N
-
 
 def _field_sum(ops, x, axis: int):
     """Reduce with field addition along `axis` via a binary tree (log depth)."""

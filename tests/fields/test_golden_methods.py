@@ -162,3 +162,22 @@ def test_minimal_poly_element(field):
     for x, z in zip(d["X"], d["Z"]):
         poly = GF(int(x)).minimal_poly()
         assert _coeffs(poly) == [int(c) for c in z]
+
+
+def test_field_properties_json(field):
+    """Construction parity: characteristic/degree/order/alpha/irreducible poly
+    match the reference's properties.json for each golden field."""
+    import json
+    import pathlib
+
+    GF, folder = field
+    path = pathlib.Path(folder) / "properties.json"
+    if not path.exists():
+        pytest.skip("no properties.json")
+    props = json.loads(path.read_text())
+    assert GF.characteristic == props["characteristic"]
+    assert GF.degree == props["degree"]
+    assert GF.order == props["order"]
+    assert int(GF.primitive_element) == props["primitive_element"]
+    coeffs = [int(c) for c in np.asarray(GF.irreducible_poly.coefficients(), dtype=np.int64)]
+    assert coeffs == [int(c) for c in props["irreducible_poly"]]
