@@ -879,16 +879,15 @@ class FieldArray(metaclass=FieldArrayMeta):
     def _to_string(self, repr_mode: bool) -> str:
         ints = _storage_to_ints(self._meta, np.asarray(self._data))
         arr = np.asarray(ints)
-        if type(self)._element_repr == "int":
+        if not arr.shape:
+            body = self._format_element(int(arr))
+        elif type(self)._element_repr == "int":
             body = np.array2string(arr, separator=", ")
         else:
             strs = np.empty(arr.shape, dtype=object)
-            for idx in np.ndindex(arr.shape if arr.shape else (1,)):
-                v = arr[idx] if arr.shape else int(arr)
-                strs[idx] = self._format_element(int(v))
+            for idx in np.ndindex(arr.shape):
+                strs[idx] = self._format_element(int(arr[idx]))
             body = np.array2string(strs, separator=", ", formatter={"all": str})
-        if not arr.shape:
-            body = self._format_element(int(arr))
         if repr_mode:
             return f"GF({body}, order={self._meta.order})"
         return body
