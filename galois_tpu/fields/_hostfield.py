@@ -122,11 +122,15 @@ class HostField:
         return self.power(a, (self.q - 1) // 2) == 1
 
     def find_non_square(self) -> int:
-        """Smallest (by int repr) element that is not a square (odd q only)."""
-        for z in range(2, self.q):
-            if not self.is_square(z):
-                return z
-        raise RuntimeError("No non-square found (is q even?).")
+        """A non-square element (odd q only). The primitive element always
+        qualifies: its discrete log is 1, which is odd. (A naive small-int
+        scan is quadratic-time in extension fields, where every prime-subfield
+        element IS a square whenever (q-1)/(p-1) is even.)"""
+        if self.q % 2 == 0:
+            raise RuntimeError("Every element of a characteristic-2 field is a square.")
+        alpha = self.meta.primitive_element_int
+        assert not self.is_square(alpha)
+        return alpha
 
     def multiplicative_order(self, a: int) -> int:
         """Order of a in the unit group, via the factorization of q-1."""
