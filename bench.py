@@ -106,6 +106,20 @@ def main():
     # implied HBM traffic at 3 bytes/elem (2 in + 1 out)
     results["gf256_mul_implied_GBps"] = best * 3
 
+    # --- Pallas variants (hardware lowering check + timing) ---
+    try:
+        from galois_tpu.ops._pallas import gf2m_multiply_pallas, prime_multiply_pallas
+
+        t = time_single(lambda x, y: gf2m_multiply_pallas(x, y, 8, meta.irreducible_poly_int, False), a, b)
+        results["gf256_mul_pallas_gops"] = N / t / 1e9
+        p31 = 2**31 - 1
+        a31 = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
+        b31 = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
+        t = time_single(lambda x, y: prime_multiply_pallas(x, y, p31, False), a31, b31)
+        results["gf_m31_mul_pallas_gops"] = (N // 2) / t / 1e9
+    except Exception as e:  # pragma: no cover
+        results["pallas_error"] = str(e)[:200]
+
     # --- GF(2^8) add (XOR, pure bandwidth) ---
     ops = get_ops(meta, "jit-calculate")
     results["gf256_add_gops"] = N / time_single(ops.add, a, b) / 1e9
