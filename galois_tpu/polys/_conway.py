@@ -22,8 +22,13 @@ def conway_poly(characteristic: int, degree: int, search: bool = False) -> Poly:
     """The degree-`degree` Conway polynomial over GF(characteristic)
     (reference: src/galois/_polys/_conway.py:205-331)."""
     from ..fields import GF
+    from ..nt import is_prime
 
     p, m = int(characteristic), int(degree)
+    if not is_prime(p):
+        raise ValueError(f"Argument 'characteristic' must be prime, not {p}.")
+    if m < 1:
+        raise ValueError(f"Argument 'degree' must be at least 1, not {m}.")
     field = GF(p)
     try:
         from .._databases import ConwayPolyDatabase

@@ -1,0 +1,47 @@
+"""Conway polynomial tests (reference: tests/polys/test_conway_polys.py)."""
+
+import pytest
+
+
+def test_conway_poly_values():
+    import galois_tpu as g
+
+    f = g.conway_poly(2, 8)
+    assert str(f) == "x^8 + x^4 + x^3 + x^2 + 1"
+    assert f.field is g.GF(2)
+
+    f = g.conway_poly(3, 8)
+    assert str(f) == "x^8 + 2x^5 + x^4 + 2x^2 + 2x + 2"
+
+    f = g.conway_poly(5, 8)
+    assert str(f) == "x^8 + x^4 + 3x^2 + 4x + 2"
+
+
+def test_conway_poly_exceptions():
+    import galois_tpu as g
+
+    with pytest.raises(ValueError):
+        g.conway_poly(4, 3)  # composite characteristic
+    with pytest.raises(LookupError):
+        g.conway_poly(2, 410)  # beyond Luebeck's tables
+
+
+def test_conway_search_matches_database():
+    """The defining exhaustive search reproduces the table entries."""
+    import galois_tpu as g
+    from galois_tpu.polys._conway import _conway_search
+
+    for p, m in [(2, 1), (2, 2), (2, 3), (2, 4), (3, 1), (3, 2), (3, 3), (5, 2), (7, 2)]:
+        assert _conway_search(p, m) == g.conway_poly(p, m), (p, m)
+
+
+def test_is_conway_and_consistent():
+    import galois_tpu as g
+
+    f = g.conway_poly(2, 4)
+    assert f.is_conway()
+    assert f.is_conway_consistent()
+    # x^4 + x^3 + 1 is primitive over GF(2) but is not the Conway polynomial
+    other = g.Poly.Degrees([4, 3, 0])
+    assert other.is_primitive()
+    assert not other.is_conway()
