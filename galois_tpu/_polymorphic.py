@@ -66,18 +66,22 @@ def prod(*values):
 
 
 def are_coprime(*values) -> bool:
-    """Whether the arguments are pairwise... globally coprime (gcd of all is
-    unit) (reference: src/galois/_polymorphic.py:313-386)."""
+    """Whether the arguments are PAIRWISE coprime — equivalently, their LCM
+    equals their product (reference: src/galois/_polymorphic.py:313-386)."""
     if all(_is_int(v) for v in values):
-        g = _nt.gcd(int(values[0]), int(values[1])) if len(values) >= 2 else int(values[0])
-        for v in values[2:]:
-            g = _nt.gcd(g, int(v))
-        return g == 1
+        return _nt.lcm(*[int(v) for v in values]) == _nt.prod(*[int(v) for v in values])
     if all(isinstance(v, Poly) for v in values):
-        g = values[0]
-        for v in values[1:]:
-            g = poly_gcd(g, v)
-        return g.degree == 0 and not g.is_zero
+        l = poly_lcm(*values)
+        p = poly_prod(*values)
+        # compare up to a unit (leading coefficient)
+        if p.is_zero:
+            return l.is_zero
+        from .polys._poly import _hf
+
+        F = _hf(p.field)
+        lead = p._coeffs[0]
+        p_monic = p * Poly([F.reciprocal(lead)], field=p.field) if lead != 1 else p
+        return l == p_monic
     raise TypeError("Arguments must all be ints or all be Polys.")
 
 

@@ -247,6 +247,7 @@ def test_polymorphic_functions():
     assert g.lcm(4, 6) == 12
     assert g.prod(2, 3, 4) == 24
     assert g.are_coprime(3, 5, 7)
+    assert not g.are_coprime(6, 10, 15)  # pairwise semantics
     f, m = g.factors(60)
     assert f == [2, 3, 5] and m == [2, 1, 1]
 
