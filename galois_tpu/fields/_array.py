@@ -664,6 +664,35 @@ class FieldArray(metaclass=FieldArrayMeta):
         eq = self.__eq__(other)
         return NotImplemented if eq is NotImplemented else ~eq
 
+    def _compare(self, other, op):
+        try:
+            o = self._coerce(other)
+        except (TypeError, ValueError):
+            return NotImplemented
+        a = _storage_to_ints(self._meta, np.asarray(self._data))
+        b = _storage_to_ints(self._meta, np.asarray(o._data))
+        return op(np.asarray(a), np.asarray(b))
+
+    def __lt__(self, other):
+        import operator
+
+        return self._compare(other, operator.lt)
+
+    def __le__(self, other):
+        import operator
+
+        return self._compare(other, operator.le)
+
+    def __gt__(self, other):
+        import operator
+
+        return self._compare(other, operator.gt)
+
+    def __ge__(self, other):
+        import operator
+
+        return self._compare(other, operator.ge)
+
     def __hash__(self):
         return hash((type(self), self.item())) if self.ndim == 0 else None
 
