@@ -42,6 +42,26 @@ def convolve(a, b, mode: str = "full"):
     return cls._view(out, a._dtype)
 
 
+def _ntt_size(meta: FieldMeta, out_len: int):
+    """Smallest NTT-friendly transform size N >= out_len with N | q-1 and
+    largest radix <= 64, or None."""
+    from ..nt import factors as int_factors
+
+    q1 = meta.order - 1
+    best = None
+    # search among divisors of q-1 built from its small prime factors
+    primes, exps = int_factors(q1)
+    small = [(p, e) for p, e in zip(primes, exps) if p <= 64]
+    divs = [1]
+    for p, e in small:
+        divs = [d * p**k for d in divs for k in range(e + 1)]
+    for d in sorted(divs):
+        if d >= out_len:
+            best = d
+            break
+    return best
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _convolve_data(meta: FieldMeta, mode: str, a, b):
     ops = get_ops(meta, mode)
@@ -51,6 +71,27 @@ def _convolve_data(meta: FieldMeta, mode: str, a, b):
     if m > n:
         a, b = b, a
         n, m = m, n
+
+    # NTT fast path: for large inputs over NTT-friendly fields, multiply in
+    # the frequency domain (poly mul via NTT — SURVEY §7 M3).
+    out_len = n + m - 1
+    if m >= 64 and meta.storage == STORAGE_INT:
+        N = _ntt_size(meta, out_len)
+        if N is not None and N * (N.bit_length() + 4) < n * m:
+            from ._ntt import fft_data
+            from ..fields import _factory
+
+            cls = _factory._make_class(
+                meta.characteristic, meta.degree,
+                meta.irreducible_poly_int, meta.primitive_element_int,
+            )
+            pad_a = jnp.concatenate([a, jnp.zeros((N - n,) + a.shape[1:], a.dtype)])
+            pad_b = jnp.concatenate([b, jnp.zeros((N - m,) + b.shape[1:], b.dtype)])
+            A = fft_data(cls, pad_a, N)
+            B = fft_data(cls, pad_b, N)
+            C = ops.multiply(A, B)
+            out = fft_data(cls, C, N, inverse=True)
+            return out[:out_len]
 
     p = meta.characteristic
     if meta.degree == 1 and p != 2 and meta.storage == STORAGE_INT and m * (p - 1) ** 2 < 2**63:
