@@ -270,3 +270,34 @@ def test_field_repr_and_str():
     x = GF([0, 4, 8])
     r = repr(x)
     assert r.startswith("GF([") and "order=9" in r
+
+
+def test_arithmetic_exceptions():
+    """Reference analogue: tests/fields/test_arithmetic_exceptions.py."""
+    import galois_tpu as g
+
+    GF = g.GF(7)
+    x = GF([1, 2, 0])
+    with pytest.raises(ZeroDivisionError):
+        GF([1, 2, 3]) / x
+    with pytest.raises(ZeroDivisionError):
+        x ** -1
+    with pytest.raises(ZeroDivisionError):
+        GF(0) ** -2
+    with pytest.raises(ArithmeticError):
+        x.log()
+    with pytest.raises(ArithmeticError):
+        GF([0, 1]).multiplicative_order()
+    with pytest.raises(TypeError):
+        GF([1, 2]) ** 1.5
+    with pytest.raises(TypeError):
+        GF([1, 2]) + g.GF(11)([1, 2])
+
+
+def test_sqrt_non_square_raises():
+    import galois_tpu as g
+
+    GF = g.GF(7)
+    non_squares = [int(v) for v in np.asarray(GF.non_squares)]
+    with pytest.raises(ArithmeticError):
+        GF(non_squares).sqrt()
