@@ -77,8 +77,14 @@ def dispatch(self, func, args, kwargs):
         np.may_share_memory, np.shares_memory, np.copy, np.resize,
     }
     if func in _PASSTHROUGH:
+        from ._array import FieldArray
+
         def unwrap(x):
-            return np.asarray(x, dtype=np.int64) if isinstance(x, cls) else x
+            if isinstance(x, FieldArray):
+                return np.asarray(x, dtype=np.int64)
+            if isinstance(x, (tuple, list)):
+                return type(x)(unwrap(v) for v in x)
+            return x
 
         new_args = [unwrap(a) for a in args]
         new_kwargs = {k: unwrap(v) for k, v in kwargs.items()}
