@@ -103,3 +103,34 @@ def test_rs_errors_and_erasures(q_m):
         decoded, n_corrected = rs.decode(c, erasures=erasures, errors=True)
         assert np.array_equal(np.asarray(decoded), np.asarray(message))
         assert int(n_corrected) == n_errors
+
+
+def test_detect():
+    import galois_tpu as g
+
+    rs = g.ReedSolomon(15, 11)
+    m = rs.field.Random((6, 11), seed=5)
+    c = rs.encode(m)
+    assert not np.asarray(rs.detect(c)).any()
+    cn = np.asarray(c, dtype=np.int64).copy()
+    cn[:, 0] ^= 3
+    assert np.asarray(rs.detect(cn)).all()
+    # single codeword
+    assert rs.detect(cn[0]) is True or rs.detect(cn[0]) == True  # noqa: E712
+    assert not rs.detect(np.asarray(c, dtype=np.int64)[0])
+
+
+def test_systematic_vs_nonsystematic_same_code():
+    import galois_tpu as g
+
+    for cls, n, k in [(g.BCH, 15, 7), (g.ReedSolomon, 15, 11)]:
+        sys_code = cls(n, k, systematic=True)
+        non_code = cls(n, k, systematic=False)
+        m = sys_code.field.Random(k, seed=9)
+        c1 = sys_code.encode(m)
+        c2 = non_code.encode(m)
+        # same code space: both satisfy the parity checks
+        assert not sys_code.detect(c2)
+        assert not non_code.detect(c1)
+        # decode roundtrips through each
+        assert np.array_equal(np.asarray(non_code.decode(c2)), np.asarray(m))
