@@ -111,6 +111,14 @@ def log(x, base=None):
                 )
             l = (l.astype(object) * inv_lb % n).astype(np.int64)
         out = l.astype(np.int64)
+    elif _device_capable(meta):
+        b = meta.primitive_element_int if base_int is None else base_int
+        kern = _device_log_kernel(
+            meta,
+            cls._mode if cls._mode != "python-calculate" else meta.default_ufunc_mode,
+            b,
+        )
+        out = np.asarray(kern(x._data)).astype(np.int64)
     else:
         flat = xi.reshape(-1) if xi.ndim else xi.reshape(1)
         dtype = np.int64 if meta.order - 2 <= np.iinfo(np.int64).max else object
@@ -121,3 +129,96 @@ def log(x, base=None):
     if out.ndim:
         return out
     return np.int64(out) if out.dtype != object else int(out)
+
+# ----------------------------------------------------------------------
+# Batched device Pohlig-Hellman
+# ----------------------------------------------------------------------
+
+_DEVICE_MAX_PRIME = 1 << 20  # BSGS table cap: sqrt(pi) <= 1024
+
+
+def _device_capable(meta: FieldMeta) -> bool:
+    if meta.storage != "int":
+        return False
+    n = meta.order - 1
+    if n >= 2**62:
+        return False
+    primes, _ = factors(n)
+    return max(primes) <= _DEVICE_MAX_PRIME
+
+
+@functools.lru_cache(maxsize=None)
+def _device_log_kernel(meta: FieldMeta, mode: str, base_int: int):
+    """Jitted batched Pohlig-Hellman: all subgroup solves and the CRT combine
+    run on device; only the factorization of q-1 and the per-subgroup BSGS
+    tables are host-precomputed."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops._kernels import get_ops
+
+    ops = get_ops(meta, mode)
+    hf = get_host_field(meta)
+    n = meta.order - 1
+    primes, exponents = factors(n)
+    dt = meta.internal_dtype
+
+    groups = []
+    for pi, ei in zip(primes, exponents):
+        ni = pi**ei
+        cofactor = n // ni
+        gi = hf.power(base_int, cofactor)
+        gamma = hf.power(gi, pi ** (ei - 1))  # order pi
+        mstep = int(np.ceil(np.sqrt(pi)))
+        baby_vals = []
+        acc = 1
+        for j in range(mstep):
+            baby_vals.append(acc)
+            acc = hf.multiply(acc, gamma)
+        order_idx = np.argsort(np.asarray(baby_vals, dtype=np.int64), kind="stable")
+        baby_sorted = np.asarray(baby_vals, dtype=np.int64)[order_idx]
+        giant = hf.reciprocal(hf.power(gamma, mstep))
+        gi_inv = hf.reciprocal(gi)
+        crt = (n // ni) * pow(n // ni, -1, ni) % n
+        groups.append(dict(pi=pi, ei=ei, cofactor=cofactor, gi_inv=gi_inv,
+                           baby_sorted=baby_sorted, baby_perm=order_idx.astype(np.int64),
+                           giant=giant, mstep=mstep, crt=crt))
+
+    @jax.jit
+    def run(a):
+        total = jnp.zeros(a.shape, dtype=jnp.int64)
+        for g in groups:
+            pi, ei, mstep = g["pi"], g["ei"], g["mstep"]
+            hi = ops.power_static(a, g["cofactor"])
+            xi = jnp.zeros(a.shape, dtype=jnp.int64)
+            baby_sorted = jnp.asarray(g["baby_sorted"])
+            baby_perm = jnp.asarray(g["baby_perm"])
+            giant_c = ops.from_int_scalar(g["giant"])
+            gi_inv_c = ops.from_int_scalar(g["gi_inv"])
+            for k in range(ei):
+                # strip known digits: cur = hi * gi_inv^xi
+                stripped = ops.multiply(hi, ops.power(
+                    jnp.broadcast_to(gi_inv_c, a.shape), xi))
+                proj = ops.power_static(stripped, pi ** (ei - 1 - k))
+                # BSGS in the order-pi subgroup (scan keeps the graph O(1))
+                def bsgs_step(carry, i):
+                    cur, d, found = carry
+                    idx = jnp.searchsorted(baby_sorted, cur.astype(jnp.int64))
+                    idx = jnp.clip(idx, 0, mstep - 1)
+                    hit = (jnp.take(baby_sorted, idx) == cur.astype(jnp.int64)) & (~found)
+                    j = jnp.take(baby_perm, idx)
+                    d = jnp.where(hit, (i * mstep + j) % pi, d)
+                    found = found | hit
+                    cur = ops.multiply(cur, jnp.broadcast_to(giant_c, a.shape))
+                    return (cur, d, found), None
+
+                init = (proj, jnp.zeros(a.shape, dtype=jnp.int64),
+                        jnp.zeros(a.shape, dtype=bool))
+                (_, d, _), _ = jax.lax.scan(
+                    bsgs_step, init, jnp.arange(mstep + 1, dtype=jnp.int64)
+                )
+                xi = xi + d * (pi**k)
+            total = (total + xi * (g["crt"] % n)) % n
+        return total
+
+    return run
