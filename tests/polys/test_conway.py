@@ -45,3 +45,35 @@ def test_is_conway_and_consistent():
     other = g.Poly.Degrees([4, 3, 0])
     assert other.is_primitive()
     assert not other.is_conway()
+
+
+def test_poly_constructors_misc():
+    """Reference analogues: tests/polys/test_constructors.py essentials."""
+    import numpy as np
+
+    import galois_tpu as g
+
+    GF = g.GF(7)
+    # Roots with multiplicity
+    f = g.Poly.Roots([1, 2], multiplicities=[2, 1], field=GF)
+    r, m = f.roots(multiplicity=True)
+    assert np.asarray(r).tolist() == [1, 2] and m.tolist() == [2, 1]
+    # Random is monic-leading (nonzero leading coeff) and reproducible
+    f1 = g.Poly.Random(5, seed=11, field=GF)
+    f2 = g.Poly.Random(5, seed=11, field=GF)
+    assert f1 == f2 and f1.degree == 5
+    # Degrees validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        g.Poly.Degrees([-1], [1])
+    with pytest.raises(ValueError):
+        g.Poly.Degrees([2, 1], [1])
+    # Zero/One/Identity
+    assert g.Poly.Zero(GF).is_zero
+    assert g.Poly.One(GF).is_one
+    assert str(g.Poly.Identity(GF)) == "x"
+    # coefficients sizing
+    f = g.Poly([1, 2, 3], field=GF)
+    assert np.asarray(f.coefficients(5)).tolist() == [0, 0, 1, 2, 3]
+    assert np.asarray(f.coefficients(5, order="asc")).tolist() == [3, 2, 1, 0, 0]
