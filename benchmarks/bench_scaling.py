@@ -1,0 +1,73 @@
+"""Sharded-NTT scaling harness (SURVEY §7 M6).
+
+Measures a size-N NTT on 1 device and on D devices (real TPU mesh when
+available, else the virtual CPU mesh) and reports scaling efficiency:
+
+    eff = t_1 / (D * t_D)
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python benchmarks/bench_scaling.py [log2_N]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, reps=5, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    from jax.sharding import Mesh
+
+    import galois_tpu as gt
+    from galois_tpu.ops._ntt import _fft_jit, _get_omega, _plan
+    from galois_tpu.parallel._ntt_sharded import ShardedFFTPlan
+
+    log2N = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    N = 1 << log2N
+    devices = jax.devices()
+    D = len(devices)
+    p = 3 * 2**30 + 1
+    F = gt.GF(p)
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.integers(0, p, N, dtype=np.int64).astype(np.uint32))
+    import jax.numpy as jnp
+
+    xd = jnp.asarray(x)
+
+    omega = _get_omega(F, N)
+    plan1 = _plan(F._meta, N, omega, "jit-calculate")
+    t1 = timeit(_fft_jit(plan1), xd)
+    print(f"1-device NTT 2^{log2N}: {t1*1e3:.3f} ms ({1/t1:.0f} xforms/s)")
+
+    if D > 1:
+        mesh = Mesh(np.array(devices).reshape(D), ("x",))
+        splan = ShardedFFTPlan(F._meta, N, omega, "jit-calculate", mesh, "x")
+        tD = timeit(splan, xd)
+        eff = t1 / (D * tD)
+        print(
+            f"{D}-device sharded NTT: {tD*1e3:.3f} ms "
+            f"(speedup {t1/tD:.2f}x, efficiency {eff*100:.0f}%)"
+        )
+    else:
+        print("single device only — run with a mesh for scaling numbers")
+
+
+if __name__ == "__main__":
+    main()
