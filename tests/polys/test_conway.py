@@ -77,3 +77,24 @@ def test_poly_constructors_misc():
     f = g.Poly([1, 2, 3], field=GF)
     assert np.asarray(f.coefficients(5)).tolist() == [0, 0, 1, 2, 3]
     assert np.asarray(f.coefficients(5, order="asc")).tolist() == [3, 2, 1, 0, 0]
+
+
+def test_sparse_dense_equivalence():
+    """Reference analogue: tests/polys/test_arithmetic_implementations.py —
+    internal representations give identical results."""
+    import numpy as np
+
+    import galois_tpu as g
+    from galois_tpu.polys._poly import Poly
+
+    GF = g.GF(7)
+    dense = g.Poly([3, 0, 0, 2, 1], field=GF)
+    sparse = Poly._from_sparse([4, 1, 0], [3, 2, 1], GF)
+    sparse._type = "sparse"  # force the sparse arithmetic paths
+    assert dense == sparse
+    other = g.Poly([1, 5], field=GF)
+    assert dense + other == sparse + other
+    assert dense * other == sparse * other
+    assert dense - other == sparse - other
+    assert (dense % other) == (sparse % other)
+    assert int(dense.reverse()) == int(sparse.reverse())
