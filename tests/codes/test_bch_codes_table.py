@@ -17,12 +17,33 @@ VALID_CODES = {
     ],
 }
 
+VALID_CODES[127] = [
+    (127, 120, 1), (127, 113, 2), (127, 106, 3), (127, 99, 4), (127, 92, 5),
+    (127, 85, 6), (127, 78, 7), (127, 71, 9), (127, 64, 10), (127, 57, 11),
+    (127, 50, 13), (127, 43, 14), (127, 36, 15), (127, 29, 21), (127, 22, 23),
+    (127, 15, 27), (127, 8, 31), (127, 1, 63),
+]
+VALID_CODES[255] = [
+    (255, 247, 1), (255, 239, 2), (255, 231, 3), (255, 223, 4), (255, 215, 5),
+    (255, 207, 6), (255, 199, 7), (255, 191, 8), (255, 187, 9), (255, 179, 10),
+    (255, 171, 11), (255, 163, 12), (255, 155, 13), (255, 147, 14),
+    (255, 139, 15), (255, 131, 18), (255, 123, 19), (255, 115, 21),
+    (255, 107, 22), (255, 99, 23), (255, 91, 25), (255, 87, 26), (255, 79, 27),
+    (255, 71, 29), (255, 63, 30), (255, 55, 31), (255, 47, 42), (255, 45, 43),
+    (255, 37, 45), (255, 29, 47), (255, 21, 55), (255, 13, 59), (255, 9, 63),
+    (255, 1, 127),
+]
+
 
 @pytest.mark.parametrize("n", sorted(VALID_CODES))
 def test_bch_valid_codes(n):
     import galois_tpu as g
 
-    for (nn, k, t) in VALID_CODES[n]:
+    table = VALID_CODES[n]
+    # large n: construction is host-side minimal-poly work; sample the table
+    if n >= 127:
+        table = random.Random(n).sample(table, 4)
+    for (nn, k, t) in table:
         bch = g.BCH(nn, k)
         assert (bch.n, bch.k, bch.t) == (nn, k, t)
 
