@@ -734,9 +734,12 @@ class FieldArray(metaclass=FieldArrayMeta):
             raise ArithmeticError("0 has no multiplicative order.")
         hf = get_host_field(self._meta)
         flat = np.asarray(x, dtype=object).reshape(-1)
-        out = np.array([hf.multiplicative_order(int(v)) for v in flat], dtype=np.int64)
-        out = out.reshape(np.asarray(x).shape)
-        return out if out.ndim else np.int64(out)
+        vals = [hf.multiplicative_order(int(v)) for v in flat]
+        dtype = np.int64 if self._meta.order - 1 <= np.iinfo(np.int64).max else object
+        out = np.array(vals, dtype=dtype).reshape(np.asarray(x).shape)
+        if out.ndim:
+            return out
+        return np.int64(out) if dtype is np.int64 else int(out)
 
     def is_square(self):
         """Euler's criterion (reference: src/galois/_fields/_array.py:1354-1411)."""
