@@ -721,8 +721,14 @@ class FieldArray(metaclass=FieldArrayMeta):
         """1 for zero, else the characteristic
         (reference: src/galois/_fields/_array.py:1258-1291)."""
         x = np.asarray(self)
-        order = np.where(x == 0, 1, self._meta.characteristic).astype(np.int64)
-        return order if order.ndim else np.int64(order)
+        p = self._meta.characteristic
+        if p <= np.iinfo(np.int64).max:
+            order = np.where(np.asarray(x, dtype=object) == 0, 1, p).astype(np.int64)
+            return order if order.ndim else np.int64(order)
+        xo = np.asarray(x, dtype=object)
+        out = np.frompyfunc(lambda v: 1 if v == 0 else p, 1, 1)(xo)
+        out = np.asarray(out, dtype=object)
+        return out if out.ndim else int(out)
 
     def multiplicative_order(self):
         """Order of each unit in the multiplicative group

@@ -18,6 +18,9 @@ FIELDS = [
     "GF(3191)",
     "GF(2147483647)",
     "GF(7^3)",
+    "GF(2^100)",
+    "GF(36893488147419103183)",
+    "GF(109987^4)",
 ]
 
 
@@ -179,5 +182,5 @@ def test_field_properties_json(field):
     assert GF.degree == props["degree"]
     assert GF.order == props["order"]
     assert int(GF.primitive_element) == props["primitive_element"]
-    coeffs = [int(c) for c in np.asarray(GF.irreducible_poly.coefficients(), dtype=np.int64)]
+    coeffs = [int(c) for c in np.asarray(GF.irreducible_poly.coefficients(), dtype=object)]
     assert coeffs == [int(c) for c in props["irreducible_poly"]]
