@@ -848,18 +848,9 @@ class GoldilocksOps(LimbPrimeOps):
     def add(self, a, b):
         x = self._to_u64(a)
         y = self._to_u64(b)
-        p = jnp.uint64(self.P_INT)
-        # compute (x + y) mod p without 65-bit overflow: add y - p (wraps)
-        s = x + (y - p)  # = x + y - p mod 2^64
-        overflowed = s > x  # no wrap happened => x + y < p ... detect via wrap
-        # If x + y - p underflowed (x + y < p), s wrapped above 2^63-ish;
-        # detect underflow: y - p wraps to y + 2^64 - p, so s = x + y + (2^64-p)
-        # mod 2^64. Underflow of the conceptual x+y-p happened iff s > x when
-        # y < p (always). Simpler robust route below.
         lo = x + y
-        carried = lo < x  # wrapped past 2^64
-        red = jnp.where(carried, lo + jnp.uint64(self._M32), lo)  # +2^64 mod p = +(2^32-1)
-        # red may still exceed p
+        carried = lo < x  # wrapped past 2^64; 2^64 = 2^32 - 1 (mod p)
+        red = jnp.where(carried, lo + jnp.uint64(self._M32), lo)
         return self._from_u64(self._canon(red))
 
     def negative(self, a):
