@@ -138,3 +138,31 @@ def test_poly_factors_lut():
             got = sorted((tuple(poly_coeffs(fa)), mu) for fa, mu in zip(facs, mults))
             exp = sorted((tuple(c), mu) for c, mu in zip(factors_coeffs, multiplicities))
             assert got == exp, f"factors mismatch over GF({p}^{m}) for {poly_coeffs_desc}"
+
+
+def test_irreducible_poly_min_terms_db_consistency():
+    """The DB fast path for terms='min' agrees with the search."""
+    import galois_tpu as g
+    from galois_tpu.polys._irreducible import is_irreducible
+    from galois_tpu.polys._search import deterministic_search_fixed_terms, minimum_terms
+
+    for order, degree in [(2, 8), (2, 12), (3, 5), (5, 4), (7, 3)]:
+        db_poly = g.irreducible_poly(order, degree, terms="min")
+        assert is_irreducible(db_poly)
+        t = minimum_terms(order, degree, is_irreducible)
+        assert len(db_poly.nonzero_degrees) == t, (order, degree)
+        field = g.GF(order)
+        searched = deterministic_search_fixed_terms(field, degree, t, is_irreducible)
+        assert searched == db_poly, (order, degree)
+
+
+def test_irreducible_poly_methods():
+    import galois_tpu as g
+    from galois_tpu.polys._irreducible import is_irreducible
+
+    f_min = g.irreducible_poly(7, 3)
+    f_max = g.irreducible_poly(7, 3, method="max")
+    f_rand = g.irreducible_poly(7, 3, method="random")
+    assert int(f_min) < int(f_max)
+    for f in (f_min, f_max, f_rand):
+        assert is_irreducible(f) and f.degree == 3
