@@ -145,6 +145,25 @@ def main():
     bm = jnp.asarray(rng.integers(0, 2**31 - 1, N // 2, dtype=np.int64).astype(np.uint32))
     results["gf_m31_mul_gops"] = (N // 2) / time_single(om.multiply, am, bm) / 1e9
 
+    # --- GF(2^8) reciprocal (config 1: inv) ---
+    ops = get_ops(meta, "jit-lookup")
+    t = time_call(jax.jit(ops.reciprocal), a, reps=3, warmup=1)
+    results["gf256_recip_gops"] = N / max(t - dispatch_floor(), 1e-9) / 1e9
+
+    # --- Goldilocks batched poly eval (config 2) ---
+    try:
+        from galois_tpu.ops._poly_eval import evaluate_data
+
+        GFg2 = gt.GF(2**64 - 2**32 + 1)
+        coeffs = [int(v) for v in rng.integers(1, 2**63, 256, dtype=np.int64)]
+        pts = jnp.asarray(
+            rng.integers(0, 2**16, (N // 32, GFg2._meta.storage_width), dtype=np.int64).astype(np.uint16)
+        )
+        t = time_call(lambda d: evaluate_data(GFg2._meta, "jit-calculate", tuple(coeffs), d), pts)
+        results["goldilocks_polyeval_Mpts_per_s"] = (N // 32) / max(t - dispatch_floor(), 1e-9) / 1e6
+    except Exception as e:  # pragma: no cover
+        results["polyeval_error"] = str(e)[:200]
+
     # --- NTT 2^20 ---
     try:
         from galois_tpu.ops._ntt import _fft_jit, _get_omega, _plan
@@ -156,11 +175,10 @@ def main():
         fftj = _fft_jit(plan)
         xs = jnp.asarray(rng.integers(0, pn, 2**20, dtype=np.int64).astype(np.uint32))
 
-        @jax.jit
-        def fft_chain(x):
-            return jax.lax.fori_loop(0, 8, lambda i, acc: plan.transform(acc), x)
-
-        t = max(time_call(fft_chain, xs) - dispatch_floor(), 1e-9) / 8
+        # NOTE: chaining several transforms in one fori_loop sends XLA's
+        # algebraic simplifier into a near-infinite loop on the modular
+        # patterns — time a single dispatch-corrected call instead.
+        t = max(time_call(_fft_jit(plan), xs) - dispatch_floor(), 1e-9)
         results["ntt_2^20_ms"] = t * 1e3
         results["ntt_2^20_xforms_per_s"] = 1.0 / t
     except Exception as e:  # pragma: no cover
@@ -185,6 +203,41 @@ def main():
         results["rs255_decode_cw_per_s"] = B / t
     except Exception as e:  # pragma: no cover
         results["rs_error"] = str(e)
+
+    # --- BCH(511,493) decode (config 4) ---
+    try:
+        bch = gt.BCH(511, 493)
+        Bb = 1024 if platform == "tpu" else 32
+        msgs_b = bch.field.Random((Bb, 493), seed=2)
+        cwb = np.asarray(bch.encode(msgs_b), dtype=np.int64)
+        cwb[:, 7] ^= 1
+        cwb[:, 100] ^= 1
+        from galois_tpu.codes._decoder import make_decoder as _mkdec
+
+        ext = bch.extension_field
+        decb = _mkdec(ext._meta, ext._mode, 2, 511, 511, bch.d, bch.c, int(bch.alpha))
+        rb = jnp.asarray(cwb.astype(ext._meta.internal_dtype))
+        eb = jnp.zeros(rb.shape, dtype=bool)
+        t = time_call(decb, rb, eb)
+        results["bch511_decode_cw_per_s"] = Bb / t
+    except Exception as e:  # pragma: no cover
+        results["bch_error"] = str(e)[:200]
+
+    # --- Goldilocks NTT 2^24 single chip (config 5 per-chip leg) ---
+    try:
+        if platform == "tpu":
+            from galois_tpu.ops._ntt import _fft_jit as _fj, _get_omega as _go, _plan as _pl
+
+            GFg3 = gt.GF(2**64 - 2**32 + 1)
+            om24 = _go(GFg3, 2**24)
+            plan24 = _pl(GFg3._meta, 2**24, om24, "jit-calculate")
+            x24 = jnp.asarray(
+                rng.integers(0, 2**16, (2**24, GFg3._meta.storage_width), dtype=np.int64).astype(np.uint16)
+            )
+            t = time_call(_fj(plan24), x24, reps=2, warmup=1)
+            results["goldilocks_ntt_2^24_ms"] = (t - dispatch_floor()) * 1e3
+    except Exception as e:  # pragma: no cover
+        results["ntt24_error"] = str(e)[:200]
 
     # --- GF(2^8) 256x256 matmul (MXU bit planes) ---
     try:

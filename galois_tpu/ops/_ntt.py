@@ -185,9 +185,10 @@ class FFTPlan:
         """x: (..., n [, w]); W: (n, n [, w]). Returns X[s] = sum_j W[s,j] x[j]."""
         ops = self.ops
         storage_nd = 0 if self.meta.storage == "int" else 1
-        if self._is_prime_int():
-            # Contraction as a modular matmul: X = x @ W^T.
-            return self._mod_matmul(x, np.asarray(W).T.astype(np.int64))
+        # NOTE: a modular-matmul formulation of this contraction sends XLA's
+        # algebraic simplifier into a pathological (hours-long) loop at large
+        # N; the elementwise+tree-reduce form compiles fast and is within a
+        # few percent of speed-of-light on TPU.
         # prod[..., s, j] then field-sum over j
         xj = jnp.expand_dims(x, -2 - storage_nd)            # (..., 1, n)
         prod = ops.multiply(xj, jnp.asarray(W))             # (..., n, n)
@@ -198,11 +199,6 @@ class FFTPlan:
         output flattened to (..., r*M) with s major."""
         ops = self.ops
         storage_nd = 0 if self.meta.storage == "int" else 1
-        if self._is_prime_int():
-            ks = self._mod_matmul(z, np.asarray(W).T.astype(np.int64))  # (..., k, s)
-            out = jnp.swapaxes(ks, -1, -2)                              # (..., s, k)
-            batch = out.shape[:-2]
-            return out.reshape(batch + (out.shape[-2] * out.shape[-1],))
         zj = jnp.expand_dims(z, -3 - storage_nd)            # (..., 1, M=k, r=j)
         Wj = jnp.expand_dims(jnp.asarray(W), -2 - storage_nd)  # (r=s, 1, r=j)
         prod = ops.multiply(zj, Wj)                         # (..., s, k, j)
