@@ -83,7 +83,8 @@ def main():
     from galois_tpu.ops._kernels import get_ops
 
     platform = jax.default_backend()
-    N = 2**24 if platform == "tpu" else 2**20
+    # u8 ops at 2^24 complete under the dispatch floor; use 2^26 on TPU
+    N = 2**26 if platform == "tpu" else 2**20
 
     results = {}
 
@@ -99,9 +100,12 @@ def main():
         ops = get_ops(meta, mode)
         t1 = time_single(ops.multiply, a, b)
         tc = time_chained(ops.multiply, a, b)
-        results[f"gf256_mul_{mode}_gops"] = N / t1 / 1e9
+        # guard against sub-floor saturation: never report beyond the fused
+        # compute ceiling
+        gops1 = min(N / t1 / 1e9, N / tc / 1e9)
+        results[f"gf256_mul_{mode}_gops"] = gops1
         results[f"gf256_mul_{mode}_fused_gops"] = N / tc / 1e9
-        best = max(best or 0, N / t1 / 1e9)
+        best = max(best or 0, gops1)
     headline = best
     # implied HBM traffic at 3 bytes/elem (2 in + 1 out)
     results["gf256_mul_implied_GBps"] = best * 3
@@ -243,9 +247,12 @@ def main():
     try:
         from galois_tpu.ops._linalg import matmul as gf_matmul
 
-        A = GF256.Random((256, 256), seed=2)
-        Bm = GF256.Random((256, 256), seed=3)
-        t = time_call(lambda u, v: gf_matmul(u, v)._data, A, Bm)
+        from galois_tpu.ops._binary_matmul import binary_matmul
+
+        Am = jnp.asarray(rng.integers(0, 256, (256, 256), dtype=np.int64).astype(np.uint8))
+        Bm = jnp.asarray(rng.integers(0, 256, (256, 256), dtype=np.int64).astype(np.uint8))
+        bm_jit = jax.jit(lambda u, v: binary_matmul(GF256._meta, u, v))
+        t = max(time_call(bm_jit, Am, Bm) - dispatch_floor(), 1e-9)
         results["gf256_matmul256_us"] = t * 1e6
     except Exception as e:  # pragma: no cover
         results["matmul_error"] = str(e)
