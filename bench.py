@@ -26,9 +26,18 @@ CHAIN = 64
 
 
 def block(x):
-    jax.tree_util.tree_map(
-        lambda t: t.block_until_ready() if hasattr(t, "block_until_ready") else t, x
-    )
+    """Force TRUE completion via a tiny D2H readback.
+
+    Over the axon tunnel, ``block_until_ready()`` returns at enqueue-ack, not
+    at execution completion — timings based on it only measure tunnel RTT and
+    produce physically impossible throughputs (observed: 155 TB/s implied HBM
+    traffic). Reading one element back requires the producing executable to
+    have finished, so this is the honest synchronization point.
+    """
+    for t in jax.tree_util.tree_leaves(x):
+        if hasattr(t, "ndim"):
+            np.asarray(t if t.ndim == 0 else t.reshape(-1)[:1])
+            return
 
 
 def time_chained(op, x, b, reps=3):
@@ -109,20 +118,6 @@ def main():
     headline = best
     # implied HBM traffic at 3 bytes/elem (2 in + 1 out)
     results["gf256_mul_implied_GBps"] = best * 3
-
-    # --- Pallas variants (hardware lowering check + timing) ---
-    try:
-        from galois_tpu.ops._pallas import gf2m_multiply_pallas, prime_multiply_pallas
-
-        t = time_single(lambda x, y: gf2m_multiply_pallas(x, y, 8, meta.irreducible_poly_int, False), a, b)
-        results["gf256_mul_pallas_gops"] = N / t / 1e9
-        p31 = 2**31 - 1
-        a31 = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
-        b31 = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
-        t = time_single(lambda x, y: prime_multiply_pallas(x, y, p31, False), a31, b31)
-        results["gf_m31_mul_pallas_gops"] = (N // 2) / t / 1e9
-    except Exception as e:  # pragma: no cover
-        results["pallas_error"] = str(e)[:200]
 
     # --- GF(2^8) add (XOR, pure bandwidth) ---
     ops = get_ops(meta, "jit-calculate")
@@ -256,6 +251,23 @@ def main():
         results["gf256_matmul256_us"] = t * 1e6
     except Exception as e:  # pragma: no cover
         results["matmul_error"] = str(e)
+
+    # --- Pallas variants (hardware lowering check + timing) ---
+    # LAST on purpose: a Mosaic compile failure through the remote compile
+    # helper has been observed to wedge the device session; anything timed
+    # after it would report a spurious UNAVAILABLE device error.
+    try:
+        from galois_tpu.ops._pallas import gf2m_multiply_pallas, prime_multiply_pallas
+
+        t = time_single(lambda x, y: gf2m_multiply_pallas(x, y, 8, meta.irreducible_poly_int, False), a, b)
+        results["gf256_mul_pallas_gops"] = N / t / 1e9
+        p31 = 2**31 - 1
+        a31p = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
+        b31p = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
+        t = time_single(lambda x, y: prime_multiply_pallas(x, y, p31, False), a31p, b31p)
+        results["gf_m31_mul_pallas_gops"] = (N // 2) / t / 1e9
+    except Exception as e:  # pragma: no cover
+        results["pallas_error"] = str(e)[:200]
 
     print(
         json.dumps(

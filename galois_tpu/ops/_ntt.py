@@ -164,23 +164,6 @@ class FFTPlan:
 
         return rec(x, 0)
 
-    def _is_prime_int(self):
-        return self.meta.is_prime_field and self.meta.storage == "int" and self.meta.characteristic > 2
-
-    def _mod_matmul(self, x, W_T_np):
-        """x (..., K) @ W_T (K, S) mod p — MXU plane path / int64 path."""
-        from ._linalg import _prime_matmul
-
-        p = self.meta.characteristic
-        Wd = jnp.asarray(W_T_np.astype(np.int64))
-        K = x.shape[-1]
-        squeeze = False
-        if x.ndim == 1:
-            x = x[None, :]
-            squeeze = True
-        out = _prime_matmul(x, Wd, p, K, self.meta)
-        return (out[0] if squeeze else out).astype(x.dtype)
-
     def _apply_dft(self, x, W):
         """x: (..., n [, w]); W: (n, n [, w]). Returns X[s] = sum_j W[s,j] x[j]."""
         ops = self.ops
