@@ -18,9 +18,13 @@ import numpy as np
 
 
 def block(x):
-    jax.tree_util.tree_map(
-        lambda t: t.block_until_ready() if hasattr(t, "block_until_ready") else t, x
-    )
+    # Readback-based sync: over the remote-device tunnel block_until_ready()
+    # returns at enqueue-ack, not completion; fetching one element back
+    # serializes on the producing executable (see bench.py).
+    for t in jax.tree_util.tree_leaves(x):
+        if hasattr(t, "ndim"):
+            np.asarray(t if t.ndim == 0 else t.reshape(-1)[:1])
+            return
 
 
 def timeit(fn, *args, reps=5, warmup=2):

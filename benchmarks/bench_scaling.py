@@ -16,17 +16,25 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, reps=5, warmup=2):
+def _sync(out):
+    # Readback-based sync: over the remote-device tunnel block_until_ready()
+    # returns at enqueue-ack, not completion; fetching one element back
+    # serializes on the producing executable (see bench.py).
     import jax
 
+    for t in jax.tree_util.tree_leaves(out):
+        if hasattr(t, "ndim"):
+            np.asarray(t if t.ndim == 0 else t.reshape(-1)[:1])
+            return
+
+
+def timeit(fn, *args, reps=5, warmup=2):
     for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
