@@ -257,8 +257,14 @@ def main():
     # helper has been observed to wedge the device session; anything timed
     # after it would report a spurious UNAVAILABLE device error.
     try:
-        from galois_tpu.ops._pallas import gf2m_multiply_pallas, prime_multiply_pallas
+        from galois_tpu.ops._pallas import (
+            gf2m_multiply_pallas,
+            pallas_probe,
+            prime_multiply_pallas,
+        )
 
+        block(pallas_probe(False))  # trivial kernel: is Mosaic available at all?
+        results["pallas_probe"] = "ok"
         t = time_single(lambda x, y: gf2m_multiply_pallas(x, y, 8, meta.irreducible_poly_int, False), a, b)
         results["gf256_mul_pallas_gops"] = N / t / 1e9
         p31 = 2**31 - 1

@@ -6,6 +6,18 @@ is validated in interpreter mode on CPU (tests/test_pallas.py); on-device
 lowering is exercised by bench.py when a TPU is present.
 """
 
-from ._elementwise import gf2m_multiply_pallas, prime_multiply_pallas, enabled, enable
+from ._elementwise import (
+    gf2m_multiply_pallas,
+    pallas_probe,
+    prime_multiply_pallas,
+    enabled,
+    enable,
+)
 
-__all__ = ["gf2m_multiply_pallas", "prime_multiply_pallas", "enabled", "enable"]
+__all__ = [
+    "gf2m_multiply_pallas",
+    "pallas_probe",
+    "prime_multiply_pallas",
+    "enabled",
+    "enable",
+]
