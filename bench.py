@@ -104,16 +104,25 @@ def main():
     a = jnp.asarray(rng.integers(1, 256, N, dtype=np.int64).astype(np.uint8))
     b = jnp.asarray(rng.integers(1, 256, N, dtype=np.int64).astype(np.uint8))
     results["dispatch_floor_us"] = dispatch_floor() * 1e6
+    # Fused 64-deep chains crash the TPU worker through the remote tunnel
+    # ("kernel fault" on the fori_loop'd lookup chain at 2^26) — with honest
+    # readback timing the single-op numbers stand on their own, so chains are
+    # opt-in on TPU and default-on elsewhere.
+    import os as _os0
+
+    chains = platform != "tpu" or _os0.environ.get("GALOIS_TPU_BENCH_CHAIN") == "1"
     best = None
     for mode in ("jit-lookup", "jit-calculate"):
         ops = get_ops(meta, mode)
         t1 = time_single(ops.multiply, a, b)
-        tc = time_chained(ops.multiply, a, b)
-        # guard against sub-floor saturation: never report beyond the fused
-        # compute ceiling
-        gops1 = min(N / t1 / 1e9, N / tc / 1e9)
+        gops1 = N / t1 / 1e9
+        if chains:
+            tc = time_chained(ops.multiply, a, b)
+            # guard against sub-floor saturation: never report beyond the
+            # fused compute ceiling
+            gops1 = min(gops1, N / tc / 1e9)
+            results[f"gf256_mul_{mode}_fused_gops"] = N / tc / 1e9
         results[f"gf256_mul_{mode}_gops"] = gops1
-        results[f"gf256_mul_{mode}_fused_gops"] = N / tc / 1e9
         best = max(best or 0, gops1)
     headline = best
     # implied HBM traffic at 3 bytes/elem (2 in + 1 out)
@@ -133,7 +142,8 @@ def main():
         ag = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
         bg = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
         results["goldilocks_mul_gops"] = Ng / time_single(og.multiply, ag, bg) / 1e9
-        results["goldilocks_mul_fused_gops"] = Ng / time_chained(og.multiply, ag, bg) / 1e9
+        if chains:
+            results["goldilocks_mul_fused_gops"] = Ng / time_chained(og.multiply, ag, bg) / 1e9
     except Exception as e:  # pragma: no cover
         results["goldilocks_mul_error"] = str(e)
 
