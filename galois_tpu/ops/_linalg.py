@@ -154,6 +154,26 @@ def _prime_matmul_planes(a, b, p, K):
     b64 = b.astype(jnp.int64)
     a_planes = [((a64 >> (_PLANE_BITS * i)) & (_PLANE_BASE - 1)).astype(jnp.int8) for i in range(n_planes)]
     b_planes = [((b64 >> (_PLANE_BITS * j)) & (_PLANE_BASE - 1)).astype(jnp.int8) for j in range(n_planes)]
+    # Deferred-mod fast path: each plane product is <= K*127^2 and each
+    # shift < p, so when the worst-case weighted sum fits in int63 we can
+    # accumulate every term raw and reduce mod p exactly once (64-bit mod is
+    # emulated on TPU — doing it once per output instead of once per plane
+    # pair matters).
+    if n_planes * n_planes * K * (_PLANE_BASE - 1) ** 2 * (p - 1) < 2**63:
+        acc = None
+        for i in range(n_planes):
+            for j in range(n_planes):
+                shift = pow(2, _PLANE_BITS * (i + j), p)
+                for s in range(0, K, max_block):
+                    e = min(K, s + max_block)
+                    blk = jnp.matmul(
+                        a_planes[i][..., s:e],
+                        b_planes[j][..., s:e, :],
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.int64)
+                    term = blk * shift
+                    acc = term if acc is None else acc + term
+        return (acc % p).astype(a.dtype)
     acc = None
     for i in range(n_planes):
         for j in range(n_planes):

@@ -210,8 +210,80 @@ def _field_sum(ops, x, axis: int):
     return jnp.squeeze(x, axis=axis)
 
 
+def _matmul_split(N: int):
+    """Divisor N1 of N closest to sqrt(N) with N1 and N/N1 both <= 4096
+    (bounds the DFT-matrix constants at 64 MB of u32); None if no such
+    split exists or N is too small to benefit."""
+    if N <= _MAX_BASE:
+        return None
+    best = None
+    d = 1
+    while d * d <= N:
+        if N % d == 0:
+            for n1 in (d, N // d):
+                n2 = N // n1
+                if n1 <= 4096 and n2 <= 4096 and n1 > 1 and n2 > 1:
+                    score = abs(n1 * n1 - N)
+                    if best is None or score < best[0]:
+                        best = (score, n1)
+        d += 1
+    return None if best is None else best[1]
+
+
+class MatmulFFTPlan(FFTPlan):
+    """Single-chip 4-step NTT on the MXU for prime fields.
+
+    X[k1 + N1*k2] = sum_{n2} W2[n2,k2] * ( T[k1,n2] * sum_{n1} W1[k1,n1] *
+    M[n1,n2] ) with M[n1,n2] = x[n1*N2 + n2]: two modular matmuls (int8
+    7-bit-plane MXU path, ops/_linalg.py) around one elementwise twiddle.
+    Replaces the elementwise mixed-radix recursion (which never touches the
+    MXU) whenever N splits into factors <= 4096. The distributed analogue is
+    parallel/_ntt_sharded.py; the reference's staged-loop kernel is
+    src/galois/_domains/_function.py:170-384.
+    """
+
+    def __init__(self, meta: FieldMeta, N: int, omega_int: int, mode: str, n1: int):
+        self.meta = meta
+        self.N = N
+        self.mode = mode
+        self.ops = get_ops(meta, mode)
+        from ..fields._hostfield import get_host_field
+
+        hf = get_host_field(meta)
+        if hf.power(omega_int, N) != 1:
+            raise ValueError("omega must be an N-th root of unity.")
+        self.pw = self._build_power_table(hf, omega_int, N)
+        self.n1 = n1
+        self.n2 = N // n1
+        k1 = np.arange(n1).reshape(-1, 1)
+        j1 = np.arange(n1).reshape(1, -1)
+        self.W1 = self._gather((self.n2 * k1 * j1) % N)  # (N1, N1)
+        n2i = np.arange(self.n2).reshape(-1, 1)
+        k2 = np.arange(self.n2).reshape(1, -1)
+        self.W2 = self._gather((self.n1 * n2i * k2) % N)  # (N2, N2)
+        t_k1 = np.arange(n1).reshape(-1, 1)
+        t_n2 = np.arange(self.n2).reshape(1, -1)
+        self.T = self._gather((t_k1 * t_n2) % N)  # (N1, N2)
+
+    def transform(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ._linalg import _prime_matmul
+
+        p = self.meta.characteristic
+        batch = x.shape[:-1]
+        M = x.reshape(batch + (self.n1, self.n2))
+        A = _prime_matmul(jnp.asarray(self.W1), M, p, self.n1, self.meta)
+        B = self.ops.multiply(A, jnp.asarray(self.T))
+        C = _prime_matmul(B, jnp.asarray(self.W2), p, self.n2, self.meta)
+        X = jnp.swapaxes(C, -1, -2)  # (..., k2, k1) -> flat index k1 + N1*k2
+        return X.reshape(batch + (self.N,))
+
+
 @functools.lru_cache(maxsize=None)
 def _plan(meta: FieldMeta, N: int, omega_int: int, mode: str) -> FFTPlan:
+    if meta.storage == "int" and meta.is_prime_field and meta.characteristic > 2:
+        n1 = _matmul_split(N)
+        if n1 is not None:
+            return MatmulFFTPlan(meta, N, omega_int, mode, n1)
     return FFTPlan(meta, N, omega_int, mode)
 
 
