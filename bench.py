@@ -193,10 +193,22 @@ def main():
     except Exception as e:  # pragma: no cover
         results["ntt_error"] = str(e)
 
+    # --- NTT 2^24 prime field (north-star metric; MXU 4-step plan) ---
+    try:
+        if platform == "tpu":
+            omega24 = _get_omega(GFn, 2**24)
+            plan24p = _plan(GFn._meta, 2**24, omega24, "jit-calculate")
+            xs24 = jnp.asarray(rng.integers(0, pn, 2**24, dtype=np.int64).astype(np.uint32))
+            t = max(time_call(_fft_jit(plan24p), xs24, reps=2) - dispatch_floor(), 1e-9)
+            results["ntt_2^24_ms"] = t * 1e3
+            results["ntt_2^24_xforms_per_s"] = 1.0 / t
+    except Exception as e:  # pragma: no cover
+        results["ntt24_prime_error"] = str(e)[:200]
+
     # --- RS(255,223) decode ---
     try:
         rs = gt.ReedSolomon(255, 223)
-        B = 4096 if platform == "tpu" else 128
+        B = 16384 if platform == "tpu" else 128
         msgs = rs.field.Random((B, 223), seed=1)
         cws = rs.encode(msgs)
         cn = np.asarray(cws, dtype=np.int64)
@@ -216,7 +228,7 @@ def main():
     # --- BCH(511,493) decode (config 4) ---
     try:
         bch = gt.BCH(511, 493)
-        Bb = 1024 if platform == "tpu" else 32
+        Bb = 4096 if platform == "tpu" else 32
         msgs_b = bch.field.Random((Bb, 493), seed=2)
         cwb = np.asarray(bch.encode(msgs_b), dtype=np.int64)
         cwb[:, 7] ^= 1
@@ -254,11 +266,13 @@ def main():
 
         from galois_tpu.ops._binary_matmul import binary_matmul
 
-        Am = jnp.asarray(rng.integers(0, 256, (256, 256), dtype=np.int64).astype(np.uint8))
-        Bm = jnp.asarray(rng.integers(0, 256, (256, 256), dtype=np.int64).astype(np.uint8))
+        # batch 64 independent matmuls so total time clears the sync floor
+        Bt = 64 if platform == "tpu" else 4
+        Am = jnp.asarray(rng.integers(0, 256, (Bt, 256, 256), dtype=np.int64).astype(np.uint8))
+        Bm = jnp.asarray(rng.integers(0, 256, (Bt, 256, 256), dtype=np.int64).astype(np.uint8))
         bm_jit = jax.jit(lambda u, v: binary_matmul(GF256._meta, u, v))
         t = max(time_call(bm_jit, Am, Bm) - dispatch_floor(), 1e-9)
-        results["gf256_matmul256_us"] = t * 1e6
+        results["gf256_matmul256_us"] = t / Bt * 1e6
     except Exception as e:  # pragma: no cover
         results["matmul_error"] = str(e)
 
