@@ -104,24 +104,26 @@ def main():
     a = jnp.asarray(rng.integers(1, 256, N, dtype=np.int64).astype(np.uint8))
     b = jnp.asarray(rng.integers(1, 256, N, dtype=np.int64).astype(np.uint8))
     results["dispatch_floor_us"] = dispatch_floor() * 1e6
-    # Fused 64-deep chains crash the TPU worker through the remote tunnel
-    # ("kernel fault" on the fori_loop'd lookup chain at 2^26) — with honest
-    # readback timing the single-op numbers stand on their own, so chains are
-    # opt-in on TPU and default-on elsewhere.
-    import os as _os0
-
-    chains = platform != "tpu" or _os0.environ.get("GALOIS_TPU_BENCH_CHAIN") == "1"
+    # Chained timing notes: the fori_loop'd LOOKUP chain (64 dependent
+    # gathers at 2^26) faults the TPU worker through the remote tunnel, so
+    # lookup mode is timed single-op only on TPU. Calculate chains are safe
+    # and are the honest way to amortize the ~31 ms sync floor when the op
+    # itself costs ~2 ms (the loop-carried 64 MB accumulator lives in HBM,
+    # so per-iteration traffic matches a real single op).
     best = None
     for mode in ("jit-lookup", "jit-calculate"):
         ops = get_ops(meta, mode)
         t1 = time_single(ops.multiply, a, b)
         gops1 = N / t1 / 1e9
-        if chains:
+        chain_ok = mode != "jit-lookup" or platform != "tpu"
+        if chain_ok:
             tc = time_chained(ops.multiply, a, b)
-            # guard against sub-floor saturation: never report beyond the
-            # fused compute ceiling
-            gops1 = min(gops1, N / tc / 1e9)
-            results[f"gf256_mul_{mode}_fused_gops"] = N / tc / 1e9
+            gops_chain = N / tc / 1e9
+            results[f"gf256_mul_{mode}_chain_gops"] = gops_chain
+            # single-op time below the sync floor is unresolvable — fall
+            # back to the chain-amortized number; otherwise never report
+            # beyond the chain ceiling.
+            gops1 = gops_chain if t1 <= 1e-8 else min(gops1, gops_chain)
         results[f"gf256_mul_{mode}_gops"] = gops1
         best = max(best or 0, gops1)
     headline = best
@@ -142,8 +144,7 @@ def main():
         ag = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
         bg = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
         results["goldilocks_mul_gops"] = Ng / time_single(og.multiply, ag, bg) / 1e9
-        if chains:
-            results["goldilocks_mul_fused_gops"] = Ng / time_chained(og.multiply, ag, bg) / 1e9
+        results["goldilocks_mul_chain_gops"] = Ng / time_chained(og.multiply, ag, bg) / 1e9
     except Exception as e:  # pragma: no cover
         results["goldilocks_mul_error"] = str(e)
 
@@ -154,8 +155,9 @@ def main():
     bm = jnp.asarray(rng.integers(0, 2**31 - 1, N // 2, dtype=np.int64).astype(np.uint32))
     results["gf_m31_mul_gops"] = (N // 2) / time_single(om.multiply, am, bm) / 1e9
 
-    # --- GF(2^8) reciprocal (config 1: inv) ---
-    ops = get_ops(meta, "jit-lookup")
+    # --- GF(2^8) reciprocal (config 1: inv; default jit-calculate mode —
+    # lookup gathers are ~1000x off pace on TPU) ---
+    ops = get_ops(meta, "jit-calculate")
     t = time_call(jax.jit(ops.reciprocal), a, reps=3, warmup=1)
     results["gf256_recip_gops"] = N / max(t - dispatch_floor(), 1e-9) / 1e9
 
