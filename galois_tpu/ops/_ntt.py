@@ -140,16 +140,32 @@ class FFTPlan:
         """Transform the trailing axis (internal-storage array)."""
         return _fft_jit(self)(x)
 
-    def transform(self, x: jnp.ndarray) -> jnp.ndarray:
+    def device_tables(self):
+        """Twiddle/DFT tables as device arrays, built once per plan.
+
+        Passed to `transform` as runtime arguments by `_fft_jit`: embedding
+        multi-hundred-MB tables as trace constants crashes the remote
+        compile helper at large N and bloats every executable."""
+        if getattr(self, "_dev_tables", None) is None:
+            self._dev_tables = (
+                tuple((jax.device_put(tw), jax.device_put(W)) for (_, _, tw, W) in self.levels),
+                jax.device_put(self.base_W),
+            )
+        return self._dev_tables
+
+    def transform(self, x: jnp.ndarray, tables=None) -> jnp.ndarray:
         ops = self.ops
         storage_nd = 0 if self.meta.storage == "int" else 1
+        lev_tabs, base_W = tables if tables is not None else (None, jnp.asarray(self.base_W))
 
         def rec(x, level: int):
             # x: (..., size [, w])
             size = x.shape[-1 - storage_nd]
             if level == len(self.levels):
-                return self._apply_dft(x, self.base_W)
+                return self._apply_dft(x, base_W)
             r, M, twiddle, W = self.levels[level]
+            if lev_tabs is not None:
+                twiddle, W = lev_tabs[level]
             # x[n], n = r*m + j  ->  (..., M, r)
             batch = x.shape[: x.ndim - 1 - storage_nd]
             tail = x.shape[x.ndim - storage_nd :]
@@ -265,15 +281,27 @@ class MatmulFFTPlan(FFTPlan):
         t_n2 = np.arange(self.n2).reshape(1, -1)
         self.T = self._gather((t_k1 * t_n2) % N)  # (N1, N2)
 
-    def transform(self, x: jnp.ndarray) -> jnp.ndarray:
+    def device_tables(self):
+        if getattr(self, "_dev_tables", None) is None:
+            self._dev_tables = (
+                jax.device_put(self.W1),
+                jax.device_put(self.T),
+                jax.device_put(self.W2),
+            )
+        return self._dev_tables
+
+    def transform(self, x: jnp.ndarray, tables=None) -> jnp.ndarray:
         from ._linalg import _prime_matmul
 
+        W1, T, W2 = tables if tables is not None else (
+            jnp.asarray(self.W1), jnp.asarray(self.T), jnp.asarray(self.W2)
+        )
         p = self.meta.characteristic
         batch = x.shape[:-1]
         M = x.reshape(batch + (self.n1, self.n2))
-        A = _prime_matmul(jnp.asarray(self.W1), M, p, self.n1, self.meta)
-        B = self.ops.multiply(A, jnp.asarray(self.T))
-        C = _prime_matmul(B, jnp.asarray(self.W2), p, self.n2, self.meta)
+        A = _prime_matmul(W1, M, p, self.n1, self.meta)
+        B = self.ops.multiply(A, T)
+        C = _prime_matmul(B, W2, p, self.n2, self.meta)
         X = jnp.swapaxes(C, -1, -2)  # (..., k2, k1) -> flat index k1 + N1*k2
         return X.reshape(batch + (self.N,))
 
@@ -289,7 +317,14 @@ def _plan(meta: FieldMeta, N: int, omega_int: int, mode: str) -> FFTPlan:
 
 @functools.lru_cache(maxsize=None)
 def _fft_jit(plan: FFTPlan):
-    return jax.jit(plan.transform)
+    jf = jax.jit(plan.transform)
+
+    def run(x):
+        # tables ride as runtime args, not trace constants (see
+        # FFTPlan.device_tables).
+        return jf(x, plan.device_tables())
+
+    return run
 
 
 def _get_omega(cls, N: int) -> int:
