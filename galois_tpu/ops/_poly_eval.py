@@ -23,16 +23,63 @@ __all__ = ["evaluate", "evaluate_data"]
 @functools.lru_cache(maxsize=None)
 def _eval_kernel(meta: FieldMeta, mode: str):
     ops = get_ops(meta, mode)
+    storage_nd = 0 if meta.storage == STORAGE_INT else 1
 
     @jax.jit
     def run(coeffs, x):
         # coeffs: (n_coeffs, [w]) descending; x: (..., [w])
-        def body(acc, c):
-            return ops.add(ops.multiply(acc, x), c), None
+        n = coeffs.shape[0]
+        if n < 64:
+            def body(acc, c):
+                return ops.add(ops.multiply(acc, x), c), None
 
-        acc0 = ops.zero_like(x)
-        acc, _ = jax.lax.scan(body, acc0, coeffs)
-        return acc
+            acc0 = ops.zero_like(x)
+            acc, _ = jax.lax.scan(body, acc0, coeffs)
+            return acc
+
+        # Two-level Horner: f(x) = sum_i C_i(x) * (x^c)^i with k chunks of c
+        # coefficients. Sequential depth drops from n to ~c + k + 2 log2 c
+        # (~2 sqrt(n)); the inner scan is batched over all k chunks, so each
+        # step does k times the elementwise work — same total FLOPs, far
+        # fewer latency-bound scan steps.
+        import math
+
+        c = max(1, math.isqrt(n))
+        k = -(-n // c)
+        m = k * c
+        asc = jnp.flip(coeffs, axis=0)  # ascending degrees
+        pad = [(0, m - n)] + [(0, 0)] * storage_nd
+        asc = jnp.pad(asc, pad)  # high-degree zero padding
+        B = asc.reshape((k, c) + asc.shape[1:])  # B[i, j] = coeff of x^(i*c+j)
+        Bj = jnp.flip(jnp.moveaxis(B, 1, 0), axis=0)  # (c, k, [w]) descending j
+
+        xb = x[None] if storage_nd == 0 else x[None]  # (1, ..., [w]) broadcast vs k
+
+        def inner(acc, cj):
+            # acc: (k, ..., [w]); cj: (k, [w]) -> broadcast over x dims
+            cjb = cj[(slice(None),) + (None,) * (x.ndim - storage_nd)]
+            return ops.add(ops.multiply(acc, xb), cjb), None
+
+        acc0 = jnp.zeros((k,) + x.shape, dtype=x.dtype)
+        A, _ = jax.lax.scan(inner, acc0, Bj)  # (k, ..., [w]): chunk values
+
+        # y = x^c by square-and-multiply on the static exponent
+        y = None
+        sq = x
+        e = c
+        while e:
+            if e & 1:
+                y = sq if y is None else ops.multiply(y, sq)
+            e >>= 1
+            if e:
+                sq = ops.multiply(sq, sq)
+
+        def outer(out, Ai):
+            return ops.add(ops.multiply(out, y), Ai), None
+
+        out0 = ops.zero_like(x)
+        out, _ = jax.lax.scan(outer, out0, jnp.flip(A, axis=0))
+        return out
 
     return run
 
