@@ -246,21 +246,24 @@ def main():
     except Exception as e:  # pragma: no cover
         results["bch_error"] = str(e)[:200]
 
-    # --- Goldilocks NTT 2^24 single chip (config 5 per-chip leg) ---
+    # --- Goldilocks NTT single chip (config 5 per-chip leg) ---
+    # 2^22, not 2^24: the elementwise contraction for limb-storage fields
+    # materializes an (..., s, k, j) product of N*64 limbs; at 2^24 that is
+    # an 8.6 GB intermediate and the remote compile helper dies on it.
     try:
         if platform == "tpu":
             from galois_tpu.ops._ntt import _fft_jit as _fj, _get_omega as _go, _plan as _pl
 
             GFg3 = gt.GF(2**64 - 2**32 + 1)
-            om24 = _go(GFg3, 2**24)
-            plan24 = _pl(GFg3._meta, 2**24, om24, "jit-calculate")
-            x24 = jnp.asarray(
-                rng.integers(0, 2**16, (2**24, GFg3._meta.storage_width), dtype=np.int64).astype(np.uint16)
+            om22 = _go(GFg3, 2**22)
+            plan22 = _pl(GFg3._meta, 2**22, om22, "jit-calculate")
+            x22 = jnp.asarray(
+                rng.integers(0, 2**16, (2**22, GFg3._meta.storage_width), dtype=np.int64).astype(np.uint16)
             )
-            t = time_call(_fj(plan24), x24, reps=2, warmup=1)
-            results["goldilocks_ntt_2^24_ms"] = (t - dispatch_floor()) * 1e3
+            t = time_call(_fj(plan22), x22, reps=2, warmup=1)
+            results["goldilocks_ntt_2^22_ms"] = (t - dispatch_floor()) * 1e3
     except Exception as e:  # pragma: no cover
-        results["ntt24_error"] = str(e)[:200]
+        results["ntt_goldilocks_error"] = str(e)[:200]
 
     # --- GF(2^8) 256x256 matmul (MXU bit planes) ---
     try:
