@@ -180,6 +180,11 @@ class FFTPlan:
 
         return rec(x, 0)
 
+    # Cap on materialized product elements (times storage width) in the
+    # contraction below; bigger workloads loop over j-chunks. 2^27 keeps the
+    # intermediate under ~1 GB for 4-limb fields.
+    _CONTRACT_BUDGET = 2**27
+
     def _apply_dft(self, x, W):
         """x: (..., n [, w]); W: (n, n [, w]). Returns X[s] = sum_j W[s,j] x[j]."""
         ops = self.ops
@@ -188,20 +193,42 @@ class FFTPlan:
         # algebraic simplifier into a pathological (hours-long) loop at large
         # N; the elementwise+tree-reduce form compiles fast and is within a
         # few percent of speed-of-light on TPU.
-        # prod[..., s, j] then field-sum over j
-        xj = jnp.expand_dims(x, -2 - storage_nd)            # (..., 1, n)
-        prod = ops.multiply(xj, jnp.asarray(W))             # (..., n, n)
-        return _field_sum(ops, prod, axis=-1 - storage_nd)
+        n = x.shape[-1 - storage_nd]
+        numel = int(np.prod(x.shape)) * n
+        chunk = n
+        while chunk > 1 and numel // n * chunk > self._CONTRACT_BUDGET:
+            chunk //= 2
+        Wd = jnp.asarray(W)
+        out = None
+        for j0 in range(0, n, chunk):
+            xc = jax.lax.slice_in_dim(x, j0, j0 + chunk, axis=x.ndim - 1 - storage_nd)
+            Wc = jax.lax.slice_in_dim(Wd, j0, j0 + chunk, axis=1)
+            xj = jnp.expand_dims(xc, -2 - storage_nd)        # (..., 1, c)
+            prod = ops.multiply(xj, Wc)                      # (..., n_s, c)
+            part = _field_sum(ops, prod, axis=-1 - storage_nd)
+            out = part if out is None else ops.add(out, part)
+        return out
 
     def _contract(self, z, W):
         """z: (..., M, r); W: (r, r). X[s*M + k] = sum_j z[k,j] W[s,j];
         output flattened to (..., r*M) with s major."""
         ops = self.ops
         storage_nd = 0 if self.meta.storage == "int" else 1
-        zj = jnp.expand_dims(z, -3 - storage_nd)            # (..., 1, M=k, r=j)
-        Wj = jnp.expand_dims(jnp.asarray(W), -2 - storage_nd)  # (r=s, 1, r=j)
-        prod = ops.multiply(zj, Wj)                         # (..., s, k, j)
-        out = _field_sum(ops, prod, axis=-1 - storage_nd)   # (..., s, k)
+        r = z.shape[-1 - storage_nd]
+        numel = int(np.prod(z.shape)) * r
+        chunk = r
+        while chunk > 1 and numel // r * chunk > self._CONTRACT_BUDGET:
+            chunk //= 2
+        Wd = jnp.asarray(W)
+        out = None
+        for j0 in range(0, r, chunk):
+            zc = jax.lax.slice_in_dim(z, j0, j0 + chunk, axis=z.ndim - 1 - storage_nd)
+            Wc = jax.lax.slice_in_dim(Wd, j0, j0 + chunk, axis=1)
+            zj = jnp.expand_dims(zc, -3 - storage_nd)          # (..., 1, M=k, c)
+            Wj = jnp.expand_dims(Wc, -2 - storage_nd)          # (r=s, 1, c)
+            prod = ops.multiply(zj, Wj)                        # (..., s, k, c)
+            part = _field_sum(ops, prod, axis=-1 - storage_nd)  # (..., s, k)
+            out = part if out is None else ops.add(out, part)
         batch = out.shape[: out.ndim - 2 - storage_nd]
         tail = out.shape[out.ndim - storage_nd :]
         return out.reshape(
