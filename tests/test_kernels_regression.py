@@ -1,0 +1,164 @@
+"""Regression tests for TPU-motivated kernel specializations:
+
+- Mersenne-prime all-u32 multiply (ops/_kernels.py PrimeOps._mul_mersenne*)
+- MXU 4-step NTT plan vs the elementwise mixed-radix plan (ops/_ntt.py)
+- chunked NTT contraction (memory-budgeted j-loop)
+- two-level (sqrt-chunked) Horner polynomial evaluation (ops/_poly_eval.py)
+"""
+
+import numpy as np
+import pytest
+
+
+# ----------------------------------------------------------------------
+# Mersenne multiply
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("p", [3, 7, 31, 127, 8191, 2**31 - 1])
+def test_mersenne_multiply_matches_oracle(p):
+    import jax
+
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import get_ops
+
+    GF = g.GF(p)
+    ops = get_ops(GF._meta, "jit-calculate")
+    assert ops._mersenne_e == p.bit_length()
+    rng = np.random.default_rng(p)
+    a = rng.integers(0, p, 5000, dtype=np.int64)
+    b = rng.integers(0, p, 5000, dtype=np.int64)
+    got = np.asarray(
+        jax.jit(ops.multiply)(
+            a.astype(GF._meta.internal_dtype), b.astype(GF._meta.internal_dtype)
+        ),
+        dtype=np.int64,
+    )
+    exp = ((a.astype(object) * b.astype(object)) % p).astype(np.int64)
+    assert np.array_equal(got, exp)
+
+
+def test_mersenne_multiply_corners():
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import get_ops
+
+    for p in (8191, 2**31 - 1):
+        GF = g.GF(p)
+        ops = get_ops(GF._meta, "jit-calculate")
+        vals = [0, 1, 2, p - 2, p - 1, p // 2, p // 2 + 1]
+        a = np.array([x for x in vals for _ in vals], dtype=np.int64)
+        b = np.array(vals * len(vals), dtype=np.int64)
+        got = np.asarray(
+            ops.multiply(
+                a.astype(GF._meta.internal_dtype), b.astype(GF._meta.internal_dtype)
+            ),
+            dtype=np.int64,
+        )
+        exp = ((a.astype(object) * b.astype(object)) % p).astype(np.int64)
+        assert np.array_equal(got, exp), p
+
+
+def test_non_mersenne_has_no_fast_path():
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import get_ops
+
+    for p in (5, 257, 65537, 2**31 - 19):
+        ops = get_ops(g.GF(p)._meta, "jit-calculate")
+        assert ops._mersenne_e is None, p
+
+
+# ----------------------------------------------------------------------
+# MXU 4-step NTT plan
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("q,n", [(97, 96), (257, 256), (12289, 4096), (3 * 2**30 + 1, 2048)])
+def test_matmul_fft_plan_matches_elementwise(q, n):
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import FFTPlan, MatmulFFTPlan, _fft_jit, _get_omega, _plan
+
+    GF = g.GF(q)
+    om = _get_omega(GF, n)
+    plan = _plan(GF._meta, n, om, "jit-calculate")
+    assert isinstance(plan, MatmulFFTPlan), "expected the MXU plan for this size"
+    ref_plan = FFTPlan(GF._meta, n, om, "jit-calculate")
+    x = np.random.default_rng(0).integers(0, q, n, dtype=np.int64)
+    xs = x.astype(GF._meta.internal_dtype)
+    got = np.asarray(_fft_jit(plan)(xs), dtype=np.int64)
+    exp = np.asarray(ref_plan.transform(xs), dtype=np.int64)
+    assert np.array_equal(got, exp)
+
+
+def test_matmul_fft_plan_batched():
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import MatmulFFTPlan, _fft_jit, _get_omega, _plan
+
+    GF = g.GF(257)
+    om = _get_omega(GF, 256)
+    plan = _plan(GF._meta, 256, om, "jit-calculate")
+    assert isinstance(plan, MatmulFFTPlan)
+    x = np.random.default_rng(1).integers(0, 257, (3, 256), dtype=np.int64)
+    xs = x.astype(GF._meta.internal_dtype)
+    got = np.asarray(_fft_jit(plan)(xs), dtype=np.int64)
+    for i in range(3):
+        row = np.asarray(_fft_jit(plan)(xs[i]), dtype=np.int64)
+        assert np.array_equal(got[i], row)
+
+
+def test_prime_fft_skips_matmul_plan_when_unsplittable():
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import FFTPlan, MatmulFFTPlan, _get_omega, _plan
+
+    # 13 is prime and <= the base-DFT cutoff -> elementwise plan
+    GF = g.GF(53)
+    om = _get_omega(GF, 13)
+    plan = _plan(GF._meta, 13, om, "jit-calculate")
+    assert not isinstance(plan, MatmulFFTPlan)
+    assert isinstance(plan, FFTPlan)
+
+
+# ----------------------------------------------------------------------
+# Chunked contraction
+# ----------------------------------------------------------------------
+
+def test_chunked_contraction_matches_unchunked():
+    import galois_tpu as g
+    from galois_tpu.ops import _ntt as M
+
+    p = 2**64 - 2**32 + 1
+    GFg = g.GF(p)
+    om = M._get_omega(GFg, 512)
+    plan = M.FFTPlan(GFg._meta, 512, om, "jit-calculate")
+    from galois_tpu.fields._array import _ints_to_storage_np, _storage_to_ints
+
+    vals = np.array([pow(5, i, p) for i in range(512)], dtype=object)
+    xs = _ints_to_storage_np(GFg._meta, vals)
+    unchunked = _storage_to_ints(GFg._meta, np.asarray(plan.transform(xs)))
+    old = M.FFTPlan._CONTRACT_BUDGET
+    try:
+        M.FFTPlan._CONTRACT_BUDGET = 64  # force maximal chunking
+        plan2 = M.FFTPlan(GFg._meta, 512, om, "jit-calculate")
+        chunked = _storage_to_ints(GFg._meta, np.asarray(plan2.transform(xs)))
+    finally:
+        M.FFTPlan._CONTRACT_BUDGET = old
+    assert np.array_equal(np.asarray(unchunked, dtype=object), np.asarray(chunked, dtype=object))
+
+
+# ----------------------------------------------------------------------
+# Two-level Horner
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("deg", [62, 63, 64, 65, 100, 255])
+def test_poly_eval_chunked_boundary(deg):
+    import galois_tpu as g
+    from galois_tpu.fields._hostfield import get_host_field
+    from galois_tpu.polys import _hostpoly as hp
+
+    GF = g.GF(2**13 - 1)
+    rng = np.random.default_rng(deg)
+    coeffs = [int(c) for c in rng.integers(1, 2**13 - 1, deg + 1)]
+    f = g.Poly(coeffs, field=GF)
+    x = GF.Random(257, seed=deg)
+    got = np.asarray(f(x), dtype=np.int64)
+    hf = get_host_field(GF._meta)
+    asc = f._asc()
+    exp = np.array([hp.evaluate(hf, asc, int(v)) for v in np.asarray(x)], dtype=np.int64)
+    assert np.array_equal(got, exp)
