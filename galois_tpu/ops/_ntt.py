@@ -324,6 +324,19 @@ class MatmulFFTPlan(FFTPlan):
             jnp.asarray(self.W1), jnp.asarray(self.T), jnp.asarray(self.W2)
         )
         p = self.meta.characteristic
+        if self.meta.storage != "int":
+            # Goldilocks limb storage: same 4-step, MXU work via the
+            # 7-bit-plane goldilocks matmul (ops/_limb_matmul.py).
+            from ._limb_matmul import goldilocks_matmul
+
+            w = self.meta.storage_width
+            batch = x.shape[:-2]
+            M = x.reshape(batch + (self.n1, self.n2, w))
+            A = goldilocks_matmul(self.meta, W1, M)
+            B = self.ops.multiply(A, T)
+            C = goldilocks_matmul(self.meta, B, W2)
+            X = jnp.swapaxes(C, -2, -3)  # (..., k2, k1, w)
+            return X.reshape(batch + (self.N, w))
         batch = x.shape[:-1]
         M = x.reshape(batch + (self.n1, self.n2))
         A = _prime_matmul(W1, M, p, self.n1, self.meta)
@@ -335,7 +348,13 @@ class MatmulFFTPlan(FFTPlan):
 
 @functools.lru_cache(maxsize=None)
 def _plan(meta: FieldMeta, N: int, omega_int: int, mode: str) -> FFTPlan:
-    if meta.storage == "int" and meta.is_prime_field and meta.characteristic > 2:
+    from ._limb_matmul import supports as _gold_supports
+
+    if (
+        meta.is_prime_field
+        and meta.characteristic > 2
+        and (meta.storage == "int" or _gold_supports(meta))
+    ):
         n1 = _matmul_split(N)
         if n1 is not None:
             return MatmulFFTPlan(meta, N, omega_int, mode, n1)
