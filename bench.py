@@ -262,16 +262,15 @@ def main():
             )
             t = time_call(_fj(plan22), x22, reps=2, warmup=1)
             results["goldilocks_ntt_2^22_ms"] = (t - dispatch_floor()) * 1e3
-            import os as _osg
-
-            if _osg.environ.get("GALOIS_TPU_BENCH_G24") == "1":
-                om24 = _go(GFg3, 2**24)
-                plan24 = _pl(GFg3._meta, 2**24, om24, "jit-calculate")
-                x24 = jnp.asarray(
-                    rng.integers(0, 2**16, (2**24, GFg3._meta.storage_width), dtype=np.int64).astype(np.uint16)
-                )
-                t = time_call(_fj(plan24), x24, reps=2, warmup=1)
-                results["goldilocks_ntt_2^24_ms"] = (t - dispatch_floor()) * 1e3
+            # 2^24 rides the MXU 4-step goldilocks plan (no giant
+            # elementwise intermediate since ops/_limb_matmul.py landed)
+            om24 = _go(GFg3, 2**24)
+            plan24 = _pl(GFg3._meta, 2**24, om24, "jit-calculate")
+            x24 = jnp.asarray(
+                rng.integers(0, 2**16, (2**24, GFg3._meta.storage_width), dtype=np.int64).astype(np.uint16)
+            )
+            t = time_call(_fj(plan24), x24, reps=2, warmup=1)
+            results["goldilocks_ntt_2^24_ms"] = (t - dispatch_floor()) * 1e3
     except Exception as e:  # pragma: no cover
         results["ntt_goldilocks_error"] = str(e)[:200]
 
