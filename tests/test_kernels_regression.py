@@ -146,6 +146,57 @@ def test_chunked_contraction_matches_unchunked():
 # Two-level Horner
 # ----------------------------------------------------------------------
 
+# ----------------------------------------------------------------------
+# Goldilocks MXU matmul
+# ----------------------------------------------------------------------
+
+GOLD_P = 2**64 - 2**32 + 1
+
+
+def test_goldilocks_matmul_matches_object_oracle():
+    import galois_tpu as g
+
+    GF = g.GF(GOLD_P)
+    A = GF.Random((8, 33), seed=1)
+    B = GF.Random((33, 5), seed=2)
+    got = np.asarray(A @ B, dtype=object)
+    exp = (np.asarray(A, dtype=object) @ np.asarray(B, dtype=object)) % GOLD_P
+    assert np.array_equal(got, exp)
+
+
+def test_goldilocks_matmul_corners():
+    import galois_tpu as g
+
+    GF = g.GF(GOLD_P)
+    A = GF(np.full((3, 7), GOLD_P - 1, dtype=object))
+    B = GF(np.full((7, 3), GOLD_P - 1, dtype=object))
+    got = np.asarray(A @ B, dtype=object)
+    exp = (np.asarray(A, dtype=object) @ np.asarray(B, dtype=object)) % GOLD_P
+    assert np.array_equal(got, exp)
+
+
+def test_goldilocks_matmul_fft_plan():
+    import galois_tpu as g
+    from galois_tpu.fields._array import _ints_to_storage_np, _storage_to_ints
+    from galois_tpu.ops import _ntt as M
+
+    GF = g.GF(GOLD_P)
+    N = 1024
+    om = M._get_omega(GF, N)
+    plan = M._plan(GF._meta, N, om, "jit-calculate")
+    assert isinstance(plan, M.MatmulFFTPlan)
+    ref = M.FFTPlan(GF._meta, N, om, "jit-calculate")
+    vals = np.array([pow(5, i, GOLD_P) for i in range(N)], dtype=object)
+    xs = _ints_to_storage_np(GF._meta, vals)
+    got = _storage_to_ints(GF._meta, np.asarray(M._fft_jit(plan)(xs)))
+    exp = _storage_to_ints(GF._meta, np.asarray(ref.transform(xs)))
+    assert np.array_equal(np.asarray(got, dtype=object), np.asarray(exp, dtype=object))
+
+
+# ----------------------------------------------------------------------
+# Two-level Horner
+# ----------------------------------------------------------------------
+
 @pytest.mark.parametrize("deg", [62, 63, 64, 65, 100, 255])
 def test_poly_eval_chunked_boundary(deg):
     import galois_tpu as g
