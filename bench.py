@@ -81,10 +81,14 @@ def dispatch_floor():
 
 
 def time_single(op, x, b, reps=5):
-    """Dispatch-corrected single whole-array op time."""
+    """Dispatch-corrected single whole-array op time.
+
+    Returns None when the op completes under the measured sync floor —
+    the timing is then pure floor noise and any derived throughput would
+    be fiction (observed: a sub-floor clamp reporting 6.7e7 Gops/s)."""
     f = jax.jit(op)
-    t = time_call(f, x, b, reps=reps, warmup=2)
-    return max(t - dispatch_floor(), 1e-9)
+    t = time_call(f, x, b, reps=reps, warmup=2) - dispatch_floor()
+    return t if t > 1e-8 else None
 
 
 def main():
@@ -114,7 +118,7 @@ def main():
     for mode in ("jit-lookup", "jit-calculate"):
         ops = get_ops(meta, mode)
         t1 = time_single(ops.multiply, a, b)
-        gops1 = N / t1 / 1e9
+        gops1 = N / t1 / 1e9 if t1 else None
         chain_ok = mode != "jit-lookup" or platform != "tpu"
         if chain_ok:
             tc = time_chained(ops.multiply, a, b)
@@ -123,16 +127,21 @@ def main():
             # single-op time below the sync floor is unresolvable — fall
             # back to the chain-amortized number; otherwise never report
             # beyond the chain ceiling.
-            gops1 = gops_chain if t1 <= 1e-8 else min(gops1, gops_chain)
-        results[f"gf256_mul_{mode}_gops"] = gops1
-        best = max(best or 0, gops1)
+            gops1 = gops_chain if gops1 is None else min(gops1, gops_chain)
+        if gops1 is not None:
+            results[f"gf256_mul_{mode}_gops"] = gops1
+            best = max(best or 0, gops1)
+        else:
+            results[f"gf256_mul_{mode}_gops"] = "sub-floor"
     headline = best
     # implied HBM traffic at 3 bytes/elem (2 in + 1 out)
     results["gf256_mul_implied_GBps"] = best * 3
 
-    # --- GF(2^8) add (XOR, pure bandwidth) ---
+    # --- GF(2^8) add (XOR, pure bandwidth; a chain would fold
+    # algebraically, so sub-floor stays unresolvable) ---
     ops = get_ops(meta, "jit-calculate")
-    results["gf256_add_gops"] = N / time_single(ops.add, a, b) / 1e9
+    t = time_single(ops.add, a, b)
+    results["gf256_add_gops"] = N / t / 1e9 if t else "sub-floor"
 
     # --- 64-bit prime field (Goldilocks) multiply ---
     try:
@@ -143,17 +152,24 @@ def main():
         Ng = N // 8
         ag = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
         bg = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
-        results["goldilocks_mul_gops"] = Ng / time_single(og.multiply, ag, bg) / 1e9
+        tg = time_single(og.multiply, ag, bg)
+        results["goldilocks_mul_gops"] = Ng / tg / 1e9 if tg else "sub-floor"
         results["goldilocks_mul_chain_gops"] = Ng / time_chained(og.multiply, ag, bg) / 1e9
     except Exception as e:  # pragma: no cover
         results["goldilocks_mul_error"] = str(e)
 
-    # --- 31-bit prime field multiply ---
+    # --- 31-bit prime field multiply (all-u32 Mersenne folds) ---
     GFm = gt.GF(2**31 - 1)
     om = get_ops(GFm._meta, "jit-calculate")
     am = jnp.asarray(rng.integers(0, 2**31 - 1, N // 2, dtype=np.int64).astype(np.uint32))
     bm = jnp.asarray(rng.integers(0, 2**31 - 1, N // 2, dtype=np.int64).astype(np.uint32))
-    results["gf_m31_mul_gops"] = (N // 2) / time_single(om.multiply, am, bm) / 1e9
+    tm = time_single(om.multiply, am, bm)
+    tmc = time_chained(om.multiply, am, bm)
+    results["gf_m31_mul_chain_gops"] = (N // 2) / tmc / 1e9
+    g1 = (N // 2) / tm / 1e9 if tm else None
+    results["gf_m31_mul_gops"] = (
+        (N // 2) / tmc / 1e9 if g1 is None else min(g1, (N // 2) / tmc / 1e9)
+    )
 
     # --- GF(2^8) reciprocal (config 1: inv; default jit-calculate mode —
     # lookup gathers are ~1000x off pace on TPU) ---
@@ -333,12 +349,12 @@ def _bench_pallas(results, meta, a, b, N, rng):
         block(pallas_probe(False))  # trivial kernel: is Mosaic available at all?
         results["pallas_probe"] = "ok"
         t = time_single(lambda x, y: gf2m_multiply_pallas(x, y, 8, meta.irreducible_poly_int, False), a, b)
-        results["gf256_mul_pallas_gops"] = N / t / 1e9
+        results["gf256_mul_pallas_gops"] = N / t / 1e9 if t else "sub-floor"
         p31 = 2**31 - 1
         a31p = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
         b31p = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
         t = time_single(lambda x, y: prime_multiply_pallas(x, y, p31, False), a31p, b31p)
-        results["gf_m31_mul_pallas_gops"] = (N // 2) / t / 1e9
+        results["gf_m31_mul_pallas_gops"] = (N // 2) / t / 1e9 if t else "sub-floor"
     except Exception as e:  # pragma: no cover
         results["pallas_error"] = str(e)[:200]
 
