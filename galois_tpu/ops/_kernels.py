@@ -493,6 +493,10 @@ class OddExtOps(FieldOps):
         self.int_storage = meta.storage == STORAGE_INT
         # products: up to m terms of (p-1)^2 each
         self.wide = jnp.uint64 if self.m * (self.p - 1) ** 2 >= 2**32 else jnp.uint32
+        # When even the u64 accumulator would wrap (m*(p-1)^2 >= 2^64, e.g.
+        # GF(p^2) with p near 2^32), reduce each partial product mod p before
+        # accumulating; slots then hold at most m*(p-1) < 2^64.
+        self.reduce_partials = self.m * (self.p - 1) ** 2 >= 2**64
         # NumPy, not jnp: ops objects are cached across traces, so any jnp
         # constant created here would leak tracers when first built under jit.
         self.R = np.asarray(meta.reduction_matrix)  # (m-1, m) int64
@@ -543,7 +547,10 @@ class OddExtOps(FieldOps):
         shape = jnp.broadcast_shapes(Aw.shape[:-1], Bw.shape[:-1])
         full = jnp.zeros(shape + (2 * m - 1,), dtype=self.wide)
         for i in range(m):
-            full = full.at[..., i : i + m].add(Aw[..., i : i + 1] * Bw)
+            part = Aw[..., i : i + 1] * Bw
+            if self.reduce_partials:
+                part = part % p
+            full = full.at[..., i : i + m].add(part)
         full = full % p
         low, high = full[..., :m], full[..., m:]
         red = jnp.zeros(shape + (m,), dtype=self.wide)

@@ -192,7 +192,12 @@ def _prime_matmul_planes(a, b, p, K):
                 )
                 blk = (blk.astype(jnp.int64) % p)
                 part = blk if part is None else (part + blk) % p
-            term = (part * shift) % p
+            # part, shift are both < p (p can approach 2^32), so part*shift
+            # can exceed int63 and wrap. Split shift into 16-bit halves:
+            # part*s_hi < 2^32*2^16 and (part*s_hi % p)*2^16 + part*s_lo
+            # < 2^49, so every intermediate stays exact in int64.
+            s_hi, s_lo = divmod(shift, 1 << 16)
+            term = ((part * s_hi) % p * (1 << 16) + part * s_lo) % p
             acc = term if acc is None else (acc + term) % p
     return acc.astype(a.dtype)
 

@@ -140,20 +140,21 @@ class ShardedFFTPlan:
 
         w_tail = x.shape[1:]  # (w,) or ()
 
-        def local_fn(xl, twl):
+        def local_fn(xl, twl, tabs1, tabs2):
             # xl: (N/D, [w]) local contiguous chunk of x.
             # Global view: M[n2, n1] = x[n2*N1 + n1]; device holds N2/D rows.
             Ml = xl.reshape((N2 // D, N1) + w_tail)
             # transpose 1: -> v rows n1 (N1/D, N2)
             vl = _transpose(Ml, D, axis)
-            # local row DFT size N2 (root omega^N1)
-            Al = plan2.transform(vl)
+            # local row DFT size N2 (root omega^N1); tables ride as runtime
+            # args (replicated), not trace constants — see FFTPlan.device_tables
+            Al = plan2.transform(vl, tabs2)
             # twiddle: T rows for global n1 of this device
             Bl = ops.multiply(Al, twl)
             # transpose 2: -> rows k2 (N2/D, N1)
             Cl = _transpose(Bl, D, axis)
             # local row DFT size N1 (root omega^N2)
-            Xl = plan1.transform(Cl)
+            Xl = plan1.transform(Cl, tabs1)
             # Xl[k2_local, k1] = X[k1*N2 + k2]; global output natural order
             # means device d should hold X[d*N/D ... ] = rows k1 of the
             # (N1, N2) result matrix R[k1, k2] = X[k1*N2+k2].
@@ -169,14 +170,19 @@ class ShardedFFTPlan:
         spec_x = P(axis, *([None] * storage_nd))
         spec_tw = P(axis, None, *([None] * storage_nd))
         N = self.N
+        tabs1 = plan1.device_tables()
+        tabs2 = plan2.device_tables()
+        # Fully-replicated specs mirroring the table pytrees
+        spec_t1 = jax.tree.map(lambda _: P(), tabs1)
+        spec_t2 = jax.tree.map(lambda _: P(), tabs2)
         if self._jitted is None:
             self._jitted = jax.jit(
                 shard_map(
-                    local_fn, mesh=mesh, in_specs=(spec_x, spec_tw),
+                    local_fn, mesh=mesh, in_specs=(spec_x, spec_tw, spec_t1, spec_t2),
                     out_specs=spec_x, check_rep=False,
                 )
             )
-        return self._jitted(x, tw)
+        return self._jitted(x, tw, tabs1, tabs2)
 
 
 def _transpose(Ml, D: int, axis: str):

@@ -213,3 +213,49 @@ def test_poly_eval_chunked_boundary(deg):
     asc = f._asc()
     exp = np.array([hp.evaluate(hf, asc, int(v)) for v in np.asarray(x)], dtype=np.int64)
     assert np.array_equal(got, exp)
+
+
+# ----------------------------------------------------------------------
+# Overflow regressions (round-2 ADVICE findings)
+# ----------------------------------------------------------------------
+
+def test_oddext_digit_accumulator_no_u64_wrap():
+    """GF(p^2) with p near 2^32: m*(p-1)^2 >= 2^64 wraps a u64 accumulator
+    unless partial products are reduced mod p first (ADVICE r1, high)."""
+    import galois_tpu as g
+
+    p = 4294966297
+    r = 2
+    while pow(r, (p - 1) // 2, p) == 1:
+        r += 1
+    poly = g.Poly([1, 0, (-r) % p], field=g.GF(p))
+    GF = g.GF(p**2, irreducible_poly=poly)
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        a0, a1 = (int(v) for v in rng.integers(0, p, 2))
+        b0, b1 = (int(v) for v in rng.integers(0, p, 2))
+        x = GF(a0 + a1 * p)
+        y = GF(b0 + b1 * p)
+        # (a0 + a1 t)(b0 + b1 t), t^2 = r
+        e0 = (a0 * b0 + r * a1 * b1) % p
+        e1 = (a0 * b1 + a1 * b0) % p
+        assert int(x * y) == e0 + e1 * p
+    x = GF(p**2 - 1)
+    a0 = a1 = p - 1
+    assert int(x * x) == (a0 * a0 + r * a1 * a1) % p + ((2 * a0 * a1) % p) * p
+
+
+def test_prime_matmul_planes_slow_path_no_int64_wrap():
+    """p > ~3e9 with large K: the slow path's part*shift product exceeded
+    int63 and wrapped (ADVICE r1, high). Exercise the multi-block slow path."""
+    import galois_tpu as g
+
+    p = 3870334753
+    GF = g.GF(p)
+    K = 774398
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, p, size=(1, K), dtype=np.int64)
+    b = rng.integers(0, p, size=(K, 1), dtype=np.int64)
+    got = int((GF(a) @ GF(b))[0, 0])
+    exp = int(sum(int(x) * int(y) for x, y in zip(a[0], b[:, 0])) % p)
+    assert got == exp
