@@ -980,97 +980,127 @@ class LimbBinaryOps(FieldOps):
 class GoldilocksOps(LimbPrimeOps):
     """Specialized kernels for p = 2^64 - 2^32 + 1 ("Goldilocks").
 
-    Uses the identity 2^64 = 2^32 - 1 (mod p): a 128-bit product folds to
-    64 bits with a handful of 32-bit-lane operations instead of the generic
-    Barrett pipeline. Storage stays 4 x uint16 limbs; compute runs in uint64
-    lanes (32-bit pairs on TPU).
+    Pure 32-bit-lane arithmetic on the 4 x uint16 limb storage. The TPU VPU
+    is 32-bit, so uint64 ops are emulated in 32-bit pairs and 64-bit
+    multiplies are especially expensive; here the 128-bit product is built
+    from sixteen native 16x16->32 multiplies (column sums stay < 2^19) and
+    reduced with 2^64 = 2^32 - 1, 2^96 = -1 (mod p) as signed 16-bit-digit
+    column folds. No uint64 appears anywhere on the hot path.
     """
 
     P_INT = 2**64 - 2**32 + 1
-    _M32 = (1 << 32) - 1
+    _P_DIGS = (1, 0, 0xFFFF, 0xFFFF)  # p, base-2^16 little-endian
 
-    def _to_u64(self, a):
-        aw = a.astype(jnp.uint64)
-        return (
-            aw[..., 0]
-            | (aw[..., 1] << 16)
-            | (aw[..., 2] << 32)
-            | (aw[..., 3] << 48)
-        )
+    @staticmethod
+    def _prop4(cols):
+        """Signed carry propagation over 4 int32 columns -> (digits, carry).
 
-    def _from_u64(self, x):
-        out = jnp.stack(
-            [
-                x & 0xFFFF,
-                (x >> 16) & 0xFFFF,
-                (x >> 32) & 0xFFFF,
-                (x >> 48) & 0xFFFF,
-            ],
-            axis=-1,
-        )
-        return out.astype(self.dt)
+        `>> 16` on int32 is arithmetic, so negative columns borrow correctly.
+        """
+        digs = []
+        carry = jnp.zeros_like(cols[0])
+        for c in cols:
+            t = c + carry
+            digs.append(t & 0xFFFF)
+            carry = t >> 16
+        return digs, carry
 
-    def _canon(self, x):
-        # x < 2^64; subtract p once if x >= p
-        return jnp.where(x >= jnp.uint64(self.P_INT), x - jnp.uint64(self.P_INT), x)
+    def _cond_sub_p(self, digs):
+        """digs (int32, < 2^16 each, value < 2^64) -> canonical limbs."""
+        borrow = jnp.zeros_like(digs[0])
+        diff = []
+        for dk, pk in zip(digs, self._P_DIGS):
+            t = dk - pk - borrow
+            diff.append(t & 0xFFFF)
+            borrow = (t >> 16) & 1
+        ge = borrow == 0
+        out = [jnp.where(ge, df, dg) for df, dg in zip(diff, digs)]
+        return jnp.stack(out, axis=-1).astype(self.dt)
 
-    def add(self, a, b):
-        x = self._to_u64(a)
-        y = self._to_u64(b)
-        lo = x + y
-        carried = lo < x  # wrapped past 2^64; 2^64 = 2^32 - 1 (mod p)
-        red = jnp.where(carried, lo + jnp.uint64(self._M32), lo)
-        return self._from_u64(self._canon(red))
+    def _reduce_digits_128(self, g):
+        """8 int32 digits (128-bit value) -> canonical 4-limb result mod p.
 
-    def negative(self, a):
-        x = self._to_u64(a)
-        p = jnp.uint64(self.P_INT)
-        return self._from_u64(jnp.where(x == 0, x, p - x))
-
-    def subtract(self, a, b):
-        x = self._to_u64(a)
-        y = self._to_u64(b)
-        p = jnp.uint64(self.P_INT)
-        d = x - y
-        borrow = x < y
-        return self._from_u64(jnp.where(borrow, d + p, d))
+        n = lo + 2^64 h0 + 2^96 h1 = lo + (2^32 - 1) h0 - h1 (mod p).
+        Two fold+propagate rounds absorb the +-1 end carry (value stays in
+        (-2^33, 2^65) after round one, [0, 2^64) after round two).
+        """
+        cols = [g[0] - g[4] - g[6], g[1] - g[5] - g[7], g[2] + g[4], g[3] + g[5]]
+        for _ in range(2):
+            digs, carry = self._prop4(cols)
+            # carry * 2^64 = carry * (2^32 - 1) (mod p)
+            cols = [digs[0] - carry, digs[1], digs[2] + carry, digs[3]]
+        digs, _ = self._prop4(cols)  # end carry is provably 0 here
+        return self._cond_sub_p(digs)
 
     def multiply(self, a, b):
-        x = self._to_u64(a)
-        y = self._to_u64(b)
-        m32 = jnp.uint64(self._M32)
-        x0 = x & m32
-        x1 = x >> 32
-        y0 = y & m32
-        y1 = y >> 32
-        # 128-bit product via 4 32x32->64 partials
-        z00 = x0 * y0
-        z01 = x0 * y1
-        z10 = x1 * y0
-        z11 = x1 * y1
-        # mid = z01 + z10 (can be 65 bits — track carry)
-        mid = z01 + z10
-        mid_carry = (mid < z01).astype(jnp.uint64)  # carry into bit 64+32
-        lo = z00 + ((mid & m32) << 32)
-        lo_carry = (lo < z00).astype(jnp.uint64)
-        hi = z11 + (mid >> 32) + (mid_carry << 32) + lo_carry
-        # reduce: n = hi*2^64 + lo; 2^64 = 2^32 - 1 (mod p)
-        # split hi = h1*2^32 + h0:
-        h0 = hi & m32
-        h1 = hi >> 32
-        # n = lo + h0*(2^32-1) + h1*(2^64 - 2^32)
-        #   = lo + h0*2^32 - h0 + h1*(2^32-1)*2^32 ... use known identity:
-        # n mod p = lo - h1 + h0*(2^32-1)  (with borrow/carry fixups)
-        t = lo - h1
-        borrow = lo < h1
-        # On underflow the wrap already added 2^64 = p + (2^32 - 1) (mod p),
-        # so subtract (2^32 - 1) to land on (lo - h1) + p.
-        t = jnp.where(borrow, t - m32, t)
-        u = h0 * m32  # h0 * (2^32 - 1) < 2^64
-        r = t + u
-        carried = r < t
-        r = jnp.where(carried, r + m32, r)  # wrap adds 2^64 = +(2^32-1) mod p
-        return self._from_u64(self._canon(r))
+        d = a.astype(jnp.uint32)
+        e = b.astype(jnp.uint32)
+        shape = jnp.broadcast_shapes(d.shape[:-1], e.shape[:-1])
+        d = jnp.broadcast_to(d, shape + (4,))
+        e = jnp.broadcast_to(e, shape + (4,))
+        zero = jnp.zeros(shape, jnp.uint32)
+        cols = [zero] * 8
+        for i in range(4):
+            for j in range(4):
+                prod = d[..., i] * e[..., j]  # native 16x16 -> 32
+                k = i + j
+                cols[k] = cols[k] + (prod & 0xFFFF)
+                cols[k + 1] = cols[k + 1] + (prod >> 16)
+        g = []
+        carry = zero
+        for k in range(8):
+            t = cols[k] + carry
+            g.append(t & 0xFFFF)
+            carry = t >> 16
+        # product < 2^128, so the final carry is 0
+        return self._reduce_digits_128([x.astype(jnp.int32) for x in g])
+
+    def square(self, a):
+        d = a.astype(jnp.uint32)
+        zero = jnp.zeros(d.shape[:-1], jnp.uint32)
+        cols = [zero] * 8
+        for i in range(4):
+            for j in range(i, 4):
+                prod = d[..., i] * d[..., j]
+                lo, hi = prod & 0xFFFF, prod >> 16
+                k = i + j
+                if i == j:
+                    cols[k] = cols[k] + lo
+                    cols[k + 1] = cols[k + 1] + hi
+                else:
+                    cols[k] = cols[k] + lo + lo
+                    cols[k + 1] = cols[k + 1] + hi + hi
+        g = []
+        carry = zero
+        for k in range(8):
+            t = cols[k] + carry
+            g.append(t & 0xFFFF)
+            carry = t >> 16
+        return self._reduce_digits_128([x.astype(jnp.int32) for x in g])
+
+    def add(self, a, b):
+        d = a.astype(jnp.int32)
+        e = b.astype(jnp.int32)
+        cols = [d[..., k] + e[..., k] for k in range(4)]
+        digs, carry = self._prop4(cols)  # carry in {0, 1}
+        cols = [digs[0] - carry, digs[1], digs[2] + carry, digs[3]]
+        digs, _ = self._prop4(cols)
+        return self._cond_sub_p(digs)
+
+    def subtract(self, a, b):
+        d = a.astype(jnp.int32)
+        e = b.astype(jnp.int32)
+        cols = [d[..., k] - e[..., k] for k in range(4)]
+        digs, carry = self._prop4(cols)  # carry in {-1, 0}
+        cols = [digs[0] - carry, digs[1], digs[2] + carry, digs[3]]
+        digs, _ = self._prop4(cols)
+        return self._cond_sub_p(digs)
+
+    def negative(self, a):
+        d = a.astype(jnp.int32)
+        cols = [self._P_DIGS[k] - d[..., k] for k in range(4)]
+        digs, _ = self._prop4(cols)  # p - a in [1, p], no end carry
+        return self._cond_sub_p(digs)  # maps a=0 (value p) back to 0
 
     def reciprocal(self, a):
         return self._pow_int_compact(a, self.P_INT - 2)
