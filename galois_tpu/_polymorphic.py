@@ -79,7 +79,7 @@ def are_coprime(*values) -> bool:
         from .polys._poly import _hf
 
         F = _hf(p.field)
-        lead = p._coeffs[0]
+        lead = p._ensure_terms()._coeffs[0]
         p_monic = p * Poly([F.reciprocal(lead)], field=p.field) if lead != 1 else p
         return l == p_monic
     raise TypeError("Arguments must all be ints or all be Polys.")

@@ -99,6 +99,7 @@ def evaluate(poly, x):
         out = np.frompyfunc(lambda v: hp.evaluate(hf, asc, int(v)), 1, 1)(xi)
         return cls(out if xi.ndim else int(out))
 
+    poly._ensure_terms()
     coeffs_desc = [0] * (poly.degree + 1)
     for d, c in zip(poly._degrees, poly._coeffs):
         coeffs_desc[poly.degree - d] = c

@@ -106,7 +106,7 @@ def is_conway_consistent(poly: Poly, search: bool = False) -> bool:
         # evaluate g at y = x^e mod f
         y = hp.pow_mod(F, [0, 1], e, f)
         acc = [0]
-        for deg, coeff in zip(g._degrees, g._coeffs):
+        for deg, coeff in zip(g._ensure_terms()._degrees, g._coeffs):
             term = hp.pow_mod(F, y, deg, f)
             acc = hp.add(F, acc, hp.scalar_mul(F, term, coeff))
         if hp.trim(hp.mod(F, acc, f)) != [0]:

@@ -161,7 +161,7 @@ def factors(poly: Poly) -> Tuple[List[Poly], List[int]]:
         raise ValueError("The polynomial must have degree >= 1.")
     field = poly.field
     F = _hf(field)
-    lead = poly._coeffs[0]
+    lead = poly._ensure_terms()._coeffs[0]
     f = poly
     if lead != 1:
         f = f * Poly([F.reciprocal(lead)], field=field)

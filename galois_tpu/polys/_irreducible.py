@@ -6,6 +6,7 @@ from __future__ import annotations
 from typing import Iterator, Optional, Union
 
 from ..nt import factors as int_factors
+from . import _binary as bp
 from . import _hostpoly as hp
 from ._poly import Poly, _hf
 from ._search import (
@@ -30,12 +31,33 @@ def is_irreducible(poly: Poly) -> bool:
     if m == 1:
         return True
 
+    if q == 2:
+        # Packed-int Rabin test: ~degree big-int squarings instead of
+        # coefficient-list host loops (GF(2)[x] kernels in polys/_binary.py).
+        f2 = int(poly)
+        if f2 & 1 == 0:
+            return False  # x | f
+        if f2.bit_count() % 2 == 0:
+            return False  # f(1) = 0 over GF(2)
+        x2 = 2
+        h = x2
+        for _ in range(m):
+            h = bp.mod(bp.square(h), f2)
+        if h != x2:
+            return False
+        primes, _ = int_factors(m)
+        for pi in primes:
+            h = x2
+            for _ in range(m // pi):
+                h = bp.mod(bp.square(h), f2)
+            if bp.gcd(f2, h ^ x2) != 1:
+                return False
+        return True
+
     F = _hf(field)
     f = poly._asc()
     if f[0] == 0:
         return False  # x | f
-    if q == 2 and sum(f) % 2 == 0:
-        return False  # f(1) = 0 over GF(2)
 
     # normalize monic
     f = hp.scalar_mul(F, f, F.reciprocal(f[-1]))

@@ -22,6 +22,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .._options import get_printoptions
+from . import _binary as bp
 from . import _hostpoly as hp
 from ._conversions import (
     integer_to_poly,
@@ -54,7 +55,7 @@ def _field_of(field):
 class Poly:
     """A univariate polynomial f(x) over GF(p^m)."""
 
-    __slots__ = ("_field", "_degrees", "_coeffs", "_type")
+    __slots__ = ("_field", "_degrees", "_coeffs", "_type", "_int")
 
     def __init__(self, coeffs, field=None, order: str = "desc"):
         from ..fields._array import FieldArray
@@ -64,6 +65,7 @@ class Poly:
             self._degrees = coeffs._degrees
             self._coeffs = coeffs._coeffs
             self._type = coeffs._type
+            self._int = coeffs._int
             return
 
         if isinstance(coeffs, FieldArray) and field is None:
@@ -95,14 +97,55 @@ class Poly:
 
     # -- internal initializers --
     def _init_dense(self, clist_desc):
+        if self._field.order == 2:
+            v = 0
+            n = len(clist_desc)
+            for i, c in enumerate(clist_desc):
+                if c:
+                    v |= 1 << (n - 1 - i)
+            self._init_binary(v)
+            return
         # strip leading zeros
         while len(clist_desc) > 1 and clist_desc[0] == 0:
             clist_desc = clist_desc[1:]
         self._type = "dense"
+        self._int = None
         degree = len(clist_desc) - 1
         self._degrees = tuple(range(degree, -1, -1))
         self._coeffs = tuple(clist_desc)
         self._compact()
+
+    def _init_binary(self, v: int):
+        """GF(2)[x]: the whole polynomial is one packed Python int
+        (reference: src/galois/_polys/_binary.py). Term tuples materialize
+        lazily via _ensure_terms()."""
+        self._type = "binary"
+        self._int = v
+        self._degrees = None
+        self._coeffs = None
+
+    @classmethod
+    def _from_int2(cls, v: int, field) -> "Poly":
+        obj = object.__new__(cls)
+        obj._field = field
+        obj._init_binary(v)
+        return obj
+
+    def _ensure_terms(self) -> "Poly":
+        """Materialize (_degrees, _coeffs) for a binary poly; no-op otherwise."""
+        if self._degrees is None:
+            v = self._int
+            degs = []
+            while v:
+                lsb = v & -v
+                degs.append(lsb.bit_length() - 1)
+                v ^= lsb
+            if degs:
+                self._degrees = tuple(reversed(degs))
+                self._coeffs = (1,) * len(degs)
+            else:
+                self._degrees, self._coeffs = (0,), (0,)
+        return self
 
     def _compact(self):
         nz = [(d, c) for d, c in zip(self._degrees, self._coeffs) if c != 0]
@@ -116,12 +159,20 @@ class Poly:
     def _from_sparse(cls, degrees, coeffs, field) -> "Poly":
         obj = object.__new__(cls)
         obj._field = field
+        if field.order == 2:
+            v = 0
+            for d, c in zip(degrees, coeffs):
+                if c:
+                    v |= 1 << int(d)
+            obj._init_binary(v)
+            return obj
         pairs = sorted(
             ((int(d), int(c)) for d, c in zip(degrees, coeffs) if c != 0),
             key=lambda t: -t[0],
         )
         if not pairs:
             pairs = [(0, 0)]
+        obj._int = None
         obj._degrees = tuple(d for d, _ in pairs)
         obj._coeffs = tuple(c for _, c in pairs)
         obj._type = "sparse" if obj._is_sparse_worthy() else "dense"
@@ -186,6 +237,8 @@ class Poly:
         integer = int(integer)
         if integer < 0:
             raise ValueError(f"Argument 'integer' must be non-negative, not {integer}.")
+        if field.order == 2:
+            return cls._from_int2(integer, field)
         return cls(integer_to_poly(integer, field.order), field=field)
 
     @classmethod
@@ -232,16 +285,20 @@ class Poly:
 
     @property
     def degree(self) -> int:
+        if self._type == "binary":
+            return max(self._int.bit_length() - 1, 0)
         return int(self._degrees[0]) if self._coeffs != (0,) else 0
 
     @property
     def nonzero_degrees(self) -> np.ndarray:
+        self._ensure_terms()
         if self._coeffs == (0,):
             return np.array([], dtype=np.int64)
         return np.array(self._degrees, dtype=np.int64)
 
     @property
     def nonzero_coeffs(self):
+        self._ensure_terms()
         if self._coeffs == (0,):
             return self._field([])
         return self._field(list(self._coeffs))
@@ -257,6 +314,7 @@ class Poly:
                 "The dense coefficient array of a sparse polynomial with degree "
                 f"{self.degree} is too large to materialize."
             )
+        self._ensure_terms()
         out = [0] * (self.degree + 1)
         for d, c in zip(self._degrees, self._coeffs):
             out[self.degree - d] = c
@@ -265,6 +323,7 @@ class Poly:
     def coefficients(self, size: Optional[int] = None, order: str = "desc"):
         """Dense coefficients, optionally zero-padded to `size`
         (reference: src/galois/_polys/_poly.py:618-679)."""
+        self._ensure_terms()
         n = self.degree + 1
         size = n if size is None else int(size)
         if size < n:
@@ -278,14 +337,20 @@ class Poly:
 
     @property
     def is_monic(self) -> bool:
+        if self._type == "binary":
+            return self._int != 0
         return self._coeffs[0] == 1
 
     @property
     def is_zero(self) -> bool:
+        if self._type == "binary":
+            return self._int == 0
         return self._coeffs == (0,)
 
     @property
     def is_one(self) -> bool:
+        if self._type == "binary":
+            return self._int == 1
         return self._degrees == (0,) and self._coeffs == (1,)
 
     # ------------------------------------------------------------------
@@ -293,22 +358,29 @@ class Poly:
     # ------------------------------------------------------------------
 
     def __int__(self) -> int:
+        if self._type == "binary":
+            return self._int
         return sparse_poly_to_integer(self._degrees, self._coeffs, self._field.order)
 
     def __index__(self) -> int:
         return int(self)
 
     def __str__(self) -> str:
+        self._ensure_terms()
         return sparse_poly_to_str(self._degrees, self._coeffs)
 
     def __repr__(self) -> str:
         return f"Poly({self}, {self._field.name})"
 
     def __hash__(self):
+        if self._type == "binary":
+            return hash((self._field.order, self._int))
         return hash((self._field.order, self._degrees, self._coeffs))
 
     def reverse(self) -> "Poly":
         """x^d * f(1/x) (reference: src/galois/_polys/_poly.py:680-705)."""
+        if self._type == "binary":
+            return Poly._from_int2(bp.reverse(self._int), self._field)
         d = self.degree
         return Poly._from_sparse(
             [d - dd for dd in self._degrees], self._coeffs, self._field
@@ -320,6 +392,7 @@ class Poly:
 
     def _asc(self):
         """Ascending dense coefficient list of Python ints."""
+        self._ensure_terms()
         out = [0] * (self.degree + 1)
         for d, c in zip(self._degrees, self._coeffs):
             out[d] = c
@@ -339,7 +412,10 @@ class Poly:
 
     def __add__(self, other):
         other = self._check_same_field(other)
+        if self._type == "binary" and other._type == "binary":
+            return Poly._from_int2(self._int ^ other._int, self._field)
         F = _hf(self._field)
+        self._ensure_terms(), other._ensure_terms()
         if self._type == "sparse" or other._type == "sparse":
             merged = dict(zip(self._degrees, self._coeffs))
             for d, c in zip(other._degrees, other._coeffs):
@@ -351,6 +427,8 @@ class Poly:
         return self.__add__(other)
 
     def __neg__(self):
+        if self._type == "binary":
+            return self  # -f == f in characteristic 2; Poly is immutable
         F = _hf(self._field)
         return Poly._from_sparse(
             self._degrees, [F.negative(c) for c in self._coeffs], self._field
@@ -370,18 +448,25 @@ class Poly:
         if isinstance(other, (int, np.integer)) and not isinstance(other, bool):
             # integer scalar: repeated addition
             s = int(other) % self._field.characteristic
+            if self._type == "binary":
+                return self if s else Poly._from_int2(0, self._field)
             F = _hf(self._field)
             return Poly._from_sparse(
                 self._degrees, [F.multiply(c, s) for c in self._coeffs], self._field
             )
         if isinstance(other, FieldArray) and other.ndim == 0:
-            F = _hf(self._field)
             s = int(other)
+            if self._type == "binary":
+                return self if s else Poly._from_int2(0, self._field)
+            F = _hf(self._field)
             return Poly._from_sparse(
                 self._degrees, [F.multiply(c, s) for c in self._coeffs], self._field
             )
         other = self._check_same_field(other)
+        if self._type == "binary" and other._type == "binary":
+            return Poly._from_int2(bp.multiply(self._int, other._int), self._field)
         F = _hf(self._field)
+        self._ensure_terms(), other._ensure_terms()
         if self._type == "sparse" or other._type == "sparse":
             out = {}
             for d1, c1 in zip(self._degrees, self._coeffs):
@@ -396,6 +481,9 @@ class Poly:
 
     def __divmod__(self, other):
         other = self._check_same_field(other)
+        if self._type == "binary" and other._type == "binary":
+            q, r = bp.divmod_(self._int, other._int)
+            return Poly._from_int2(q, self._field), Poly._from_int2(r, self._field)
         F = _hf(self._field)
         q, r = hp.divmod_(F, self._asc(), other._asc())
         return Poly._from_asc(q, self._field), Poly._from_asc(r, self._field)
@@ -421,6 +509,8 @@ class Poly:
 
     def __mod__(self, other):
         other = self._check_same_field(other)
+        if self._type == "binary" and other._type == "binary":
+            return Poly._from_int2(bp.mod(self._int, other._int), self._field)
         F = _hf(self._field)
         if self._type == "sparse":
             # Reduce term by term: x^d mod other via repeated squaring.
@@ -440,6 +530,11 @@ class Poly:
         e = int(exponent)
         if e < 0:
             raise ValueError(f"Argument 'exponent' must be non-negative, not {e}.")
+        if self._type == "binary":
+            if modulus is not None:
+                modulus = self._check_same_field(modulus)
+                return Poly._from_int2(bp.pow_mod(self._int, e, modulus._int), self._field)
+            return Poly._from_int2(bp.pow_(self._int, e), self._field)
         F = _hf(self._field)
         if modulus is not None:
             modulus = self._check_same_field(modulus)
@@ -463,11 +558,12 @@ class Poly:
             other = _coerce_poly(other, self._field)
         except (TypeError, ValueError):
             return NotImplemented
-        return (
-            self._field._meta == other._field._meta
-            and self._degrees == other._degrees
-            and self._coeffs == other._coeffs
-        )
+        if self._field._meta != other._field._meta:
+            return False
+        if self._type == "binary" and other._type == "binary":
+            return self._int == other._int
+        self._ensure_terms(), other._ensure_terms()
+        return self._degrees == other._degrees and self._coeffs == other._coeffs
 
     def __ne__(self, other) -> bool:
         eq = self.__eq__(other)
@@ -482,6 +578,7 @@ class Poly:
         (reference: src/galois/_polys/_poly.py:1021-1103)."""
         if isinstance(at, Poly):
             # composition f(g)
+            self._ensure_terms()
             F = _hf(self._field)
             result = Poly.Zero(self._field)
             for d, c in zip(self._degrees, self._coeffs):
@@ -513,6 +610,7 @@ class Poly:
     def derivative(self, k: int = 1) -> "Poly":
         if k <= 0:
             raise ValueError(f"Argument 'k' must be positive, not {k}.")
+        self._ensure_terms()
         F = _hf(self._field)
         degs, coefs = [], []
         for d, c in zip(self._degrees, self._coeffs):

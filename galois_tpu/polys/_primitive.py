@@ -6,6 +6,7 @@ from __future__ import annotations
 from typing import Iterator, Union
 
 from ..nt import factors as int_factors
+from . import _binary as bp
 from . import _hostpoly as hp
 from ._irreducible import is_irreducible
 from ._poly import Poly, _hf
@@ -30,9 +31,22 @@ def is_primitive(poly: Poly) -> bool:
     m = poly.degree
     if m == 0:
         return False
-    if q == 2 and m == 1:
-        # The only primitive polynomial over GF(2) of degree 1 is x + 1.
-        return poly._asc() == [1, 1]
+    if q == 2:
+        # Packed-int path (GF(2)[x] kernels in polys/_binary.py).
+        f2 = int(poly)
+        if m == 1:
+            return f2 == 0b11  # x + 1
+        if f2 & 1 == 0:
+            return False  # zero constant term
+        if not is_irreducible(poly):
+            return False
+        n = 2**m - 1
+        primes, _ = int_factors(n)
+        for pi in primes:
+            # f | x^(n/pi) - 1  <=>  x^(n/pi) mod f == 1
+            if bp.pow_mod(2, n // pi, f2) == 1:
+                return False
+        return True
     if poly._asc()[0] == 0:
         return False  # zero constant term
     if not is_irreducible(poly):
