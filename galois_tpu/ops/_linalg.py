@@ -390,30 +390,129 @@ def inv(A):
     return cls._view(inv_data, A._dtype)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _plu_data(meta, mode, a):
+    """Masked in-place LAPACK-style factorization (device, jittable).
+
+    Returns (lu, perm, swaps): ``lu`` holds the unit-lower factors below the
+    diagonal and U on/above it; ``perm`` is the row-permutation vector with
+    A[perm] = L @ U; ``swaps`` counts row exchanges (determinant sign).
+    Fixed trip count with first-nonzero pivoting, matching the host path and
+    the reference's plu_decompose_jit (src/galois/_domains/_linalg.py:387-426)
+    semantics. Zero pivot columns are skipped, so singular inputs yield a U
+    with zeros on the diagonal rather than an error.
+    """
+    ops = get_ops(meta, mode)
+    n, ncols = a.shape[0], a.shape[1]
+    vec = meta.storage != STORAGE_INT
+    rows = jnp.arange(n)
+    cols = jnp.arange(ncols)
+
+    def one_col(state, j):
+        a, perm, swaps = state
+        colj = a[:, j] if not vec else a[:, j, :]
+        nz = jnp.logical_not(ops.is_zero(colj))
+        cand = jnp.where(jnp.logical_and(nz, rows >= j), rows, n)
+        i = jnp.min(cand)
+        found = i < n
+        i = jnp.where(found, i, j)
+        # swap rows j <-> i via a full-row gather (no-op when i == j)
+        idx = jnp.where(rows == j, i, jnp.where(rows == i, j, rows))
+        a = jnp.take(a, idx, axis=0)
+        perm = jnp.take(perm, idx)
+        swaps = swaps + jnp.logical_and(found, i != j).astype(jnp.int32)
+        piv = a[j, j] if not vec else a[j, j, :]
+        inv_p = ops.reciprocal(piv)
+        colj = a[:, j] if not vec else a[:, j, :]
+        below = rows > j
+        factor = ops.multiply(colj, inv_p[None] if not vec else inv_p[None, :])
+        rowj = a[j]
+        upd = ops.subtract(a, ops.multiply(_expand(factor, meta), rowj[None]))
+        mask = jnp.logical_and(jnp.logical_and(below[:, None], cols[None, :] > j), found)
+        if vec:
+            mask = mask[..., None]
+        a = jnp.where(mask, upd, a)
+        # record the multipliers in column j below the diagonal
+        newcol = ops._select(jnp.logical_and(below, found), factor, colj)
+        a = a.at[:, j].set(newcol) if not vec else a.at[:, j, :].set(newcol)
+        return (a, perm, swaps), None
+
+    init = (a, rows, jnp.asarray(0, jnp.int32))
+    (a, perm, swaps), _ = jax.lax.scan(one_col, init, jnp.arange(min(n, ncols)))
+    return a, perm, swaps
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _det_data(meta, mode, a):
+    """Determinant on device: PLU, then (-1)^swaps * prod(diag(U))."""
+    ops = get_ops(meta, mode)
+    lu, _, swaps = _plu_data(meta, mode, a)
+    n = a.shape[0]
+    diag = lu[jnp.arange(n), jnp.arange(n)]  # (n,) or (n, w)
+
+    def body(carry, d):
+        return ops.multiply(carry, d), None
+
+    one = ops.one_like(diag[0])
+    prod, _ = jax.lax.scan(body, one, diag)
+    odd = (swaps & 1) == 1
+    return ops._select(odd, ops.negative(prod), prod)
+
+
+_DEVICE_LINALG_CUTOFF = 4096
+
+
+def _lu_split(cls, lu_data, perm, n):
+    """Split the packed getrf output into (P, L, U) FieldArrays."""
+    meta = cls._meta
+    vec = meta.storage != STORAGE_INT
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(lu_data.shape[1])[None, :]
+    lower = rows > cols
+    diag = rows == cols
+    if vec:
+        lower, diag = lower[..., None], diag[..., None]
+    zero = jnp.zeros_like(lu_data)
+    ops = get_ops(meta, _calc_mode(cls))
+    one = ops.one_like(lu_data)
+    L = jnp.where(lower, lu_data, jnp.where(diag, one, zero))
+    U = jnp.where(jnp.logical_not(lower), lu_data, zero)
+    # P[perm[k], k] = 1  (A = P @ L @ U)
+    perm_np = np.asarray(perm)
+    P_np = np.zeros((n, n), dtype=np.int64)
+    P_np[perm_np, np.arange(n)] = 1
+    P = cls(P_np.tolist())
+    return P, cls._view(L, None), cls._view(U, None)
+
+
 def det(A):
-    """Determinant via masked LU (no pivot-permutation sign issues are skipped:
-    we track row swaps)."""
+    """Determinant via PLU: det = (-1)^swaps * prod(diag(U)).
+
+    Small concrete matrices use exact host elimination; larger ones run the
+    masked device kernel (reference: src/galois/_domains/_linalg.py:434-475).
+    """
     cls = type(A)
     if A.ndim != 2 or A.shape[0] != A.shape[1]:
         raise np.linalg.LinAlgError(f"Argument 'A' must be square, not {A.shape}.")
     n = A.shape[0]
     if n == 1:
         return A[0, 0]
-    # PLU-based: det = (-1)^swaps * prod(diag(U))
-    P, L, U, swaps = _plu(cls, A)
-    ops = get_ops(cls._meta, _calc_mode(cls))
-    diag = [U[i, i] for i in range(n)]
-    out = diag[0]
-    for d in diag[1:]:
-        out = out * d
-    if swaps % 2 == 1:
-        out = -out
-    return out
+    if not isinstance(A._data, jax.core.Tracer) and A.size <= _DEVICE_LINALG_CUTOFF:
+        P, L, U, swaps = _plu(cls, A)
+        diag = [U[i, i] for i in range(n)]
+        out = diag[0]
+        for d in diag[1:]:
+            out = out * d
+        if swaps % 2 == 1:
+            out = -out
+        return out
+    out = _det_data(cls._meta, _calc_mode(cls), A._data)
+    return cls._view(out, A._dtype)
 
 
 def lu_decompose(A):
     cls = type(A)
-    P, L, U, swaps = _plu(cls, A)
+    P, L, U = plu_decompose(A)
     if not np.array_equal(np.asarray(P), np.eye(A.shape[0], dtype=np.int64)):
         raise ValueError("The LU decomposition of 'A' does not exist. Use the PLU decomposition instead.")
     return L, U
@@ -421,8 +520,13 @@ def lu_decompose(A):
 
 def plu_decompose(A):
     cls = type(A)
-    P, L, U, swaps = _plu(cls, A)
-    return P, L, U
+    if A.ndim != 2:
+        raise ValueError(f"Argument 'A' must be 2-D, not {A.ndim}-D.")
+    if not isinstance(A._data, jax.core.Tracer) and A.size <= _DEVICE_LINALG_CUTOFF:
+        P, L, U, swaps = _plu(cls, A)
+        return P, L, U
+    lu_data, perm, _ = _plu_data(cls._meta, _calc_mode(cls), A._data)
+    return _lu_split(cls, lu_data, perm, A.shape[0])
 
 
 def _plu(cls, A):
