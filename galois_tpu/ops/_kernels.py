@@ -432,109 +432,10 @@ class BinaryExtOps(FieldOps):
     # instead of a 7-step select ladder. ~3x fewer VPU ops per element.
     # Reference semantics: src/galois/_domains/_calculate.py:288-324.
 
-    def _fold_swar(self, c, slot_bits: int, width: int):
-        """Reduce slot values of `width` bits mod f inside `slot_bits` slots."""
-        m, f = self.m, self.f
-        r = f ^ (1 << m)
-        deg_r = max(0, r.bit_length() - 1)
-        nslots = 32 // slot_bits
-        rep = lambda v: jnp.uint32(sum(v << (slot_bits * k) for k in range(nslots)))
-        low_mask = rep((1 << m) - 1)
-        while width > m:
-            h = (c >> m) & rep((1 << (width - m)) - 1)
-            t = jnp.zeros_like(c)
-            j = r
-            while j:
-                lsb = j & -j
-                t = t ^ (h << (lsb.bit_length() - 1))
-                j ^= lsb
-            c = (c & low_mask) ^ t
-            width = max(m, width - m + deg_r)
-        return c
-
-    @staticmethod
-    def _nib_ladder(x, y, nbits: int):
-        """Byte-slot carry-less multiply: x (<=4-bit slots) by nbits of y."""
-        ones = jnp.uint32(0x01010101)
-        sel = jnp.uint32(0x7F)
-        acc = jnp.zeros_like(x)
-        for i in range(nbits):
-            bit = (y >> i) & ones
-            acc = acc ^ ((x << i) & (bit * sel))
-        return acc
-
-    def _mul_swar4(self, a, b):
-        """Multiply with 4 u8 elements packed per u32 lane (m <= 8)."""
-        m = self.m
-        a, b = jnp.broadcast_arrays(a, b)
-        shape = a.shape
-        n = a.size
-        pad = (-n) % 4
-        af = a.reshape(-1)
-        bf = b.reshape(-1)
-        if pad:
-            zero = jnp.zeros((pad,), dtype=af.dtype)
-            af = jnp.concatenate([af, zero])
-            bf = jnp.concatenate([bf, zero])
-        A = jax.lax.bitcast_convert_type(af.reshape(-1, 4), jnp.uint32)
-        B = jax.lax.bitcast_convert_type(bf.reshape(-1, 4), jnp.uint32)
-        if m <= 4:
-            # products are 2m-1 <= 7 bits: ladder + fold directly in byte slots
-            C = self._fold_swar(self._nib_ladder(A, B, m), 8, 2 * m - 1)
-        else:
-            nib = jnp.uint32(0x0F0F0F0F)
-            al, ah = A & nib, (A >> 4) & nib
-            bl, bh = B & nib, (B >> 4) & nib
-            ll = self._nib_ladder(al, bl, 4)
-            hh = self._nib_ladder(ah, bh, m - 4)
-            mm = self._nib_ladder(al ^ ah, bl ^ bh, 4)
-            mid = mm ^ ll ^ hh
-            # 15-bit products need 16-bit slots: split even/odd bytes
-            m8 = jnp.uint32(0x00FF00FF)
-            pe = ((hh & m8) << 8) ^ ((mid & m8) << 4) ^ (ll & m8)
-            po = ((hh >> 8) & m8) << 8 ^ (((mid >> 8) & m8) << 4) ^ ((ll >> 8) & m8)
-            pe = self._fold_swar(pe, 16, 2 * m - 1)
-            po = self._fold_swar(po, 16, 2 * m - 1)
-            C = pe | (po << 8)
-        cf = jax.lax.bitcast_convert_type(C, jnp.uint8).reshape(-1)
-        if pad:
-            cf = cf[:n]
-        return cf.reshape(shape).astype(self.dt)
-
     def multiply(self, a, b):
-        if self.m <= 8 and self.dt == jnp.uint8:
-            ab = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
-            if int(np.prod(ab)) >= 32:
-                return self._mul_swar4(jnp.broadcast_to(a, ab), jnp.broadcast_to(b, ab))
         return self._reduce(self._clmul(a, b))
 
-    def _square_swar4(self, a):
-        """Square with 4 u8 elements per u32 lane: 3-step bit spread + fold."""
-        m = self.m
-        shape = a.shape
-        n = a.size
-        pad = (-n) % 4
-        af = a.reshape(-1)
-        if pad:
-            af = jnp.concatenate([af, jnp.zeros((pad,), dtype=af.dtype)])
-        A = jax.lax.bitcast_convert_type(af.reshape(-1, 4), jnp.uint32)
-
-        def spread(x):  # per 16-bit slot: abcd...-> a0b0c0d0... (x^2 carry-less)
-            x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
-            x = (x | (x << 2)) & jnp.uint32(0x33333333)
-            return (x | (x << 1)) & jnp.uint32(0x55555555)
-
-        m8 = jnp.uint32(0x00FF00FF)
-        pe = self._fold_swar(spread(A & m8), 16, 2 * m - 1)
-        po = self._fold_swar(spread((A >> 8) & m8), 16, 2 * m - 1)
-        cf = jax.lax.bitcast_convert_type(pe | (po << 8), jnp.uint8).reshape(-1)
-        if pad:
-            cf = cf[:n]
-        return cf.reshape(shape).astype(self.dt)
-
     def square(self, a):
-        if self.m <= 8 and self.dt == jnp.uint8 and jnp.size(a) >= 32:
-            return self._square_swar4(a)
         # Squaring is bit-spreading (a_i -> bit 2i) then reduction — linear in m.
         aw = a.astype(self.wide)
         acc = jnp.zeros_like(aw)
