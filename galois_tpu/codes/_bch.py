@@ -115,8 +115,10 @@ class BCH(_CyclicCode):
         return dec, np.asarray(n_errors)
 
     def _design_n(self, ns: int) -> int:
-        # The Chien search must scan the full multiplicative order of alpha.
-        return self.n if ns == self.n else self.n
+        # The Chien search must scan the full design length even for a
+        # shortened code (ns < n): error locators index positions of the
+        # parent code.
+        return self.n
 
     # ------------------------------------------------------------------
     @property
@@ -160,53 +162,74 @@ class BCH(_CyclicCode):
         return "\n".join(lines)
 
 
+def _absorb_root(field, alpha, c, j, q, ord_a, covered, g):
+    """Incorporate the root alpha^(c+j) into g(x).
+
+    If its exponent lies in an already-covered q-ary cyclotomic coset mod
+    ord(alpha), its minimal polynomial already divides g and nothing
+    changes; otherwise the coset is marked covered and g is multiplied by
+    the root's minimal polynomial. Returns (g, added_degree).
+    """
+    e = (int(c) + j) % ord_a
+    if e in covered:
+        return g, 0
+    covered.add(e)
+    x = e * q % ord_a
+    while x != e:
+        covered.add(x)
+        x = x * q % ord_a
+    mp = (alpha ** (int(c) + j)).minimal_poly()
+    return g * Poly(mp.coefficients(), field=field), mp.degree
+
+
 def _generator_poly_from_d(d, field, alpha, c):
-    """g(x) = LCM of distinct minimal polynomials of alpha^c .. alpha^(c+d-2)
-    (reference: src/galois/_codes/_bch.py:1178-1197)."""
-    generator_poly = Poly.One(field)
-    ext = type(alpha)
+    """g(x) for design distance d: the product of the minimal polynomials
+    of alpha^c .. alpha^(c+d-2), taking each q-ary cyclotomic coset once
+    (equals the reference's LCM-of-distinct-minimal-polys,
+    src/galois/_codes/_bch.py:1178-1197, since minimal polys of conjugate
+    roots coincide and distinct ones are coprime)."""
+    q = field.order
+    ord_a = int(alpha.multiplicative_order())
+    covered: set = set()
+    g = Poly.One(field)
+    for j in range(d - 1):
+        g, _ = _absorb_root(field, alpha, c, j, q, ord_a, covered, g)
     roots = alpha ** (int(c) + np.arange(0, d - 1))
-    minimal_polys = []
-    for i in range(roots.size if roots.ndim else 1):
-        root = roots[i] if roots.ndim else roots
-        mi = root.minimal_poly()
-        if mi not in minimal_polys:
-            generator_poly = generator_poly * Poly(mi.coefficients(), field=field)
-            minimal_polys.append(mi)
-    return generator_poly, roots
+    return g, roots
 
 
 def _generator_poly_from_k(n, k, field, extension_field, alpha, c):
-    """Binary search over d plus single-step maximization
-    (reference: src/galois/_codes/_bch.py:1200-1252)."""
-    m = ilog(extension_field.order, field.order)
-    min_d = (n - k) // m + 1
-    max_d = (n - k) + 1
-    possible_d = list(range(min_d, max_d + 1))
+    """g(x) for dimension k: walk the consecutive-root ladder once.
 
-    found = False
-    while len(possible_d) > 0:
-        idx = len(possible_d) // 2
-        d = possible_d[idx]
-        generator_poly, roots = _generator_poly_from_d(d, field, alpha, c)
-        if generator_poly.degree < n - k:
-            possible_d = possible_d[idx + 1 :]
-        elif generator_poly.degree == n - k:
-            found = True
+    deg g is non-decreasing in the root count, stepping by a coset size
+    whenever a root opens a new conjugacy class, so one incremental pass
+    finds every root count whose degree equals n - k; the last one before
+    the degree steps past n - k maximizes the design distance. (Same
+    result as the reference's bisection-plus-increment over d,
+    src/galois/_codes/_bch.py:1200-1252, computed without re-deriving
+    minimal polynomials at each probe.)"""
+    target = n - k
+    q = field.order
+    ord_a = int(alpha.multiplicative_order())
+    covered: set = set()
+    g = Poly.One(field)
+    degree = 0
+    hit = None  # (g, root_count) at the largest root count with degree == target
+    j = 0
+    while j <= ord_a:
+        if degree == target:
+            hit = (g, j)
+        elif degree > target:
             break
-        else:
-            possible_d = possible_d[:idx]
-    if not found:
+        if j == ord_a:
+            break
+        g, added = _absorb_root(field, alpha, c, j, q, ord_a, covered, g)
+        degree += added
+        j += 1
+    if hit is None:
         raise ValueError(
             f"The BCH({n}, {k}) code over {field.name} with alpha={int(alpha)} and c={c} does not exist."
         )
-
-    best_generator_poly, best_roots = generator_poly, roots
-    while True:
-        d += 1
-        generator_poly, roots = _generator_poly_from_d(d, field, alpha, c)
-        if generator_poly.degree == n - k:
-            best_generator_poly, best_roots = generator_poly, roots
-        elif generator_poly.degree > n - k:
-            break
-    return best_generator_poly, best_roots
+    g, n_roots = hit
+    roots = alpha ** (int(c) + np.arange(0, n_roots))
+    return g, roots
