@@ -53,12 +53,16 @@ class _LinearCode:
             if output == "parity":
                 out = parity
             else:
-                out = self.field(
-                    np.concatenate(
-                        [np.asarray(m2, dtype=object), np.asarray(parity, dtype=object)],
-                        axis=-1,
-                    )
-                )
+                # [m | parity] assembled on device: concatenate the storage
+                # arrays along the symbol axis (the trailing storage axis, if
+                # any, holds digits/limbs). Keeps encode device-resident —
+                # reference semantics _linear.py:58-93 without the host
+                # object-array round trip.
+                import jax.numpy as jnp
+
+                axis = m2._data.ndim - 1 - self.field._storage_ndim()
+                data = jnp.concatenate([m2._data, parity._data], axis=axis)
+                out = self.field._view(data, m2._dtype)
         else:
             out = matmul(m2, self._G[s:, s:])
         return out[0] if is_1d else out
@@ -74,9 +78,12 @@ class _LinearCode:
         s = self.n - ns
         c2 = codeword.reshape(1, ns) if is_1d else codeword
         syndrome = matmul(c2, self._H[:, s:].T)
-        detected = np.asarray(
-            (np.asarray(syndrome, dtype=object) != 0).any(axis=-1)
-        )
+        # Nonzero test on the device storage array (zero is canonically
+        # all-zero digits in every storage kind) — no host round trip.
+        nz = syndrome._data != 0
+        for _ in range(1 + self.field._storage_ndim()):
+            nz = nz.any(axis=-1)
+        detected = np.asarray(nz)
         return bool(detected[0]) if is_1d else detected
 
     # ------------------------------------------------------------------
