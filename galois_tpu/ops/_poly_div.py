@@ -50,6 +50,65 @@ def _floordiv_kernel(meta: FieldMeta, mode: str, n: int, g_coeffs: tuple, ks: in
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _divmod_kernel(meta: FieldMeta, mode: str, n: int, m: int):
+    """Synthetic division of one descending (n,[w]) poly by a monic
+    descending (m,[w]) divisor, as a lax.scan with a fixed trip count —
+    the device analogue of reference divmod_jit
+    (src/galois/_polys/_dense.py:126-198) for large single polynomials.
+    Returns (quotient (n-m+1,[w]), remainder (m-1 or 1,[w]))."""
+    ops = get_ops(meta, mode)
+    vec = meta.storage != "int"
+
+    @jax.jit
+    def run(a, b, inv_lead):
+        def step(r, i):
+            qi = jax.lax.dynamic_index_in_dim(r, i, axis=0, keepdims=False)
+            prod = ops.multiply(qi[None] if not vec else qi[None, :], b)
+            seg = jax.lax.dynamic_slice_in_dim(r, i, m, axis=0)
+            seg = ops.subtract(seg, prod)
+            r = jax.lax.dynamic_update_slice_in_dim(r, seg, i, axis=0)
+            return r, qi
+
+        r, qs = jax.lax.scan(step, a, jnp.arange(n - m + 1))
+        # b was normalized monic; un-scale the quotient by the true leading
+        # coefficient's inverse: a = (q * lead) * b_monic + r.
+        q = ops.multiply(qs, inv_lead[None] if not vec else inv_lead[None, :])
+        rem = r[n - m + 1 :] if m > 1 else r[:1] * 0
+        return q, rem
+
+    return run
+
+
+def poly_divmod_device(a_poly, b_poly):
+    """Divmod of two Polys on device (dense, any storage kind).
+
+    Used by Poly.__divmod__/__mod__/__floordiv__ above a degree threshold;
+    the host synthetic division (polys/_hostpoly.py) stays authoritative
+    for small polys and python-calculate mode.
+    """
+    from ..polys._poly import Poly
+
+    field = a_poly.field
+    meta = field._meta
+    mode = field._mode if field._mode != "python-calculate" else meta.default_ufunc_mode
+    ops = get_ops(meta, mode)
+    deg_a, deg_b = a_poly.degree, b_poly.degree
+    if deg_a < deg_b:
+        return Poly.Zero(field), a_poly
+    a = field(a_poly.coefficients())  # descending dense
+    b = field(b_poly.coefficients())
+    lead = b[0]
+    inv_lead = ops.reciprocal(b._data[0])
+    b_monic = field._view(ops.multiply(b._data, inv_lead[None] if meta.storage != "int" else inv_lead), b._dtype) if int(lead) != 1 else b
+    q_data, r_data = _divmod_kernel(meta, mode, deg_a + 1, deg_b + 1)(
+        a._data, b_monic._data, inv_lead
+    )
+    q = Poly(field._view(q_data, a._dtype))
+    r = Poly(field._view(r_data, a._dtype))
+    return q, r
+
+
 def batched_floordiv(codeword, g_poly, ks: int):
     """codeword: FieldArray (B, n); returns quotient messages (B, ks)."""
     cls = type(codeword)

@@ -46,6 +46,16 @@ def _default_field():
     return GF2
 
 
+# Host synthetic division / schoolbook multiply are Python-int loops; above
+# this many coefficient operations the work moves to the device kernels
+# (ops/_poly_div.py scan divmod, ops/_convolve.py product).
+_DEVICE_POLY_WORK = 1 << 17
+
+
+def _use_device_poly_ops(field) -> bool:
+    return field._mode != "python-calculate"
+
+
 def _field_of(field):
     if field is None:
         return _default_field()
@@ -474,6 +484,13 @@ class Poly:
                     d = d1 + d2
                     out[d] = F.add(out.get(d, 0), F.multiply(c1, c2))
             return Poly._from_sparse(list(out), list(out.values()), self._field)
+        if _use_device_poly_ops(self._field) and (self.degree + 1) * (other.degree + 1) >= _DEVICE_POLY_WORK:
+            # Large dense product: device convolution (NTT fast path when
+            # the field admits one) instead of the O(n*m) host loop.
+            from ..ops._convolve import convolve
+
+            c = convolve(self._field(self.coefficients()), self._field(other.coefficients()))
+            return Poly(c)
         return Poly._from_asc(hp.mul(F, self._asc(), other._asc()), self._field)
 
     def __rmul__(self, other):
@@ -484,6 +501,15 @@ class Poly:
         if self._type == "binary" and other._type == "binary":
             q, r = bp.divmod_(self._int, other._int)
             return Poly._from_int2(q, self._field), Poly._from_int2(r, self._field)
+        if (
+            self._type == "dense"
+            and other._type == "dense"
+            and _use_device_poly_ops(self._field)
+            and (self.degree - other.degree + 1) * (other.degree + 1) >= _DEVICE_POLY_WORK
+        ):
+            from ..ops._poly_div import poly_divmod_device
+
+            return poly_divmod_device(self, other)
         F = _hf(self._field)
         q, r = hp.divmod_(F, self._asc(), other._asc())
         return Poly._from_asc(q, self._field), Poly._from_asc(r, self._field)
@@ -511,6 +537,15 @@ class Poly:
         other = self._check_same_field(other)
         if self._type == "binary" and other._type == "binary":
             return Poly._from_int2(bp.mod(self._int, other._int), self._field)
+        if (
+            self._type == "dense"
+            and other._type == "dense"
+            and _use_device_poly_ops(self._field)
+            and (self.degree - other.degree + 1) * (other.degree + 1) >= _DEVICE_POLY_WORK
+        ):
+            from ..ops._poly_div import poly_divmod_device
+
+            return poly_divmod_device(self, other)[1]
         F = _hf(self._field)
         if self._type == "sparse":
             # Reduce term by term: x^d mod other via repeated squaring.
