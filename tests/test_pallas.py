@@ -21,6 +21,31 @@ def test_prime_multiply_pallas_interpret():
     assert np.array_equal(np.asarray(out, dtype=np.uint64), expect)
 
 
+@pytest.mark.parametrize("m", [2, 3, 4, 5, 6, 7, 8])
+def test_swar_mul_core(m):
+    """The packed 4-elements-per-u32 multiply core, validated against the
+    host field for every GF(2^m), m <= 8 (packing done with plain numpy —
+    no pallas_call, so this runs on any backend)."""
+    import jax.numpy as jnp
+
+    import galois_tpu as g
+    from galois_tpu.fields._hostfield import get_host_field
+    from galois_tpu.ops._pallas._elementwise import _swar_mul_core
+
+    GF = g.GF(2**m)
+    hf = get_host_field(GF._meta)
+    f_int = GF._meta.irreducible_poly_int
+    rng = np.random.default_rng(m)
+    n = 4096
+    a = rng.integers(0, 2**m, n, dtype=np.uint8)
+    b = rng.integers(0, 2**m, n, dtype=np.uint8)
+    A = jnp.asarray(a.view(np.uint32))
+    B = jnp.asarray(b.view(np.uint32))
+    C = np.asarray(_swar_mul_core(A, B, m, f_int)).view(np.uint8)
+    expect = np.array([hf.multiply(int(x), int(y)) for x, y in zip(a, b)], dtype=np.uint8)
+    assert np.array_equal(C, expect)
+
+
 def test_gf2m_multiply_pallas_interpret():
     import jax.numpy as jnp
 
