@@ -102,15 +102,15 @@ class BCH(_CyclicCode):
             self.d,
             self.c,
             int(self.alpha),
+            with_erasures=erasures is not None,
         )
         received = jnp.asarray(np.asarray(codeword, dtype=np.int64)).astype(
             ext._meta.internal_dtype
         )
         if erasures is None:
-            era = jnp.zeros(received.shape, dtype=bool)
+            out, n_errors = decoder(received)
         else:
-            era = jnp.asarray(erasures)
-        out, n_errors = decoder(received, era)
+            out, n_errors = decoder(received, jnp.asarray(erasures))
         dec = self.field(np.asarray(out, dtype=np.int64) % self.field.order)
         return dec, np.asarray(n_errors)
 

@@ -45,8 +45,15 @@ def make_decoder(
     d: int,
     c: int,
     alpha_int: int,
+    with_erasures: bool = True,
 ):
-    """Build the jitted batched decoder for received length n (<= design_n)."""
+    """Build the jitted batched decoder for received length n (<= design_n).
+
+    ``with_erasures=False`` builds the erasure-free specialization: no
+    erasure-locator scan, unmodified syndromes, and Berlekamp-Massey
+    windows as dynamic slices instead of per-row gathers (gathers lower
+    catastrophically on TPU) — the common decode path.
+    """
     assert ext_meta.storage == "int", "FEC syndrome fields use int storage"
     ops = get_ops(ext_meta, mode)
     hf = get_host_field(ext_meta)
@@ -149,8 +156,42 @@ def make_decoder(
             out = jnp.pad(out, ((0, 0), (0, out_len - out.shape[1])))
         return out
 
+    def berlekamp_massey(Sp_shifted, u, B):
+        """Masked-scan BM over per-row syndromes already shifted so index 0
+        is the first unerased syndrome. The per-step window is ONE dynamic
+        slice of a zero-padded buffer (no per-row gathers — gathers lower
+        catastrophically on TPU); delta = dot(rev(C), ascending window)."""
+        C0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
+        Bp0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
+        L0 = jnp.zeros((B,), dtype=jnp.int32)
+        bb0 = jnp.ones((B,), dtype=dt)
+        # Z[:, d + j] = S'[j]; window [S'_{t-d+1} .. S'_t] = Z[:, t+1 : t+1+d]
+        Z = jnp.concatenate([jnp.zeros((B, d), dtype=dt), Sp_shifted], axis=1)
+
+        def bm_step(carry, t):
+            C, Bp, L, bb = carry
+            active = t < (nroots - u)  # (B,)
+            win = jax.lax.dynamic_slice_in_dim(Z, t + 1, d, axis=1)
+            delta = field_dot(jnp.flip(C, axis=1), win, axis=1)  # (B,)
+            # shift B first (maintains x^m * B implicitly)
+            Bp_shift = jnp.roll(Bp, 1, axis=1).at[:, 0].set(0)
+            coef = ops.multiply(delta, ops.reciprocal(bb))
+            C_new = ops.subtract(C, ops.multiply(Bp_shift, coef[:, None]))
+            upd = active & (delta != 0)
+            grow = upd & (2 * L <= t)
+            Bp = jnp.where(grow[:, None], C, Bp_shift)
+            bb = jnp.where(grow, delta, bb)
+            L = jnp.where(grow, (t + 1 - L).astype(jnp.int32), L)
+            C = jnp.where(upd[:, None], C_new, C)
+            return (C, Bp, L, bb), None
+
+        (C, _, L, _), _ = jax.lax.scan(
+            bm_step, (C0, Bp0, L0, bb0), jnp.arange(nroots, dtype=jnp.int32)
+        )
+        return C, L
+
     @jax.jit
-    def decode(received, erasures):
+    def decode_with_erasures(received, erasures):
         """received: (B, n) ext-field int storage, DESCENDING degree order
         (as passed by users); erasures: (B, n) bool, same order."""
         B = received.shape[0]
@@ -165,61 +206,59 @@ def make_decoder(
         # 1. syndromes: S[b, l] = sum_j r_z[b, j] * W[j, l]
         S = fmatmul(r_z, W)  # (B, d-1)
 
-        # 2. erasure locator Gamma (ascending, d coeffs) — one scan over
-        # positions so the XLA program stays O(1) in n.
+        # 2. erasure locator Gamma (ascending, d coeffs). Compact the <= d-1
+        # erased positions per row with top_k, then one scan over d-1 slots
+        # (order inside the product is irrelevant) instead of all n positions.
         Yd = jnp.asarray(Y).astype(dt)
+        key = jnp.where(era, n - jnp.arange(n)[None, :], 0).astype(jnp.int32)
+        kk = min(nroots, n)
+        topv, _ = jax.lax.top_k(key, kk)          # (B, kk); n - pos, 0 pad
+        sel_mask = topv > 0
+        pos = jnp.where(sel_mask, n - topv, 0)    # erased positions (any order)
+        Y_sel = jnp.take(Yd, pos)                 # (B, kk) small constant-table gather
 
         def gamma_step(gamma, inputs):
-            yj, ej = inputs
+            yj, ej = inputs  # (B,), (B,)
             shifted = jnp.roll(gamma, 1, axis=1).at[:, 0].set(0)
-            gnew = ops.subtract(gamma, ops.multiply(shifted, yj))
+            gnew = ops.subtract(gamma, ops.multiply(shifted, yj[:, None]))
             return jnp.where(ej[:, None], gnew, gamma), None
 
         gamma0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
-        gamma, _ = jax.lax.scan(gamma_step, gamma0, (Yd, era.T))
+        gamma, _ = jax.lax.scan(gamma_step, gamma0, (Y_sel.T, sel_mask.T))
 
         # 3. modified syndromes S' = Gamma * S mod x^(d-1)
         Sp = conv_trunc(gamma, S, nroots)  # (B, d-1)
 
-        # 4. Berlekamp-Massey on S'[u:] (shift-register formulation; the
-        #    variable start u becomes a per-row active mask + gather)
-        C0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
-        Bp0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
-        L0 = jnp.zeros((B,), dtype=jnp.int32)
-        bb0 = jnp.ones((B,), dtype=dt)
-        Sp_pad = jnp.concatenate([Sp, jnp.zeros((B, d), dtype=dt)], axis=1)
-
-        def bm_step(carry, t):
-            C, Bp, L, bb = carry
-            active = t < (nroots - u)  # (B,)
-            # s-window: s[t - i] = S'[u + t - i] for i = 0..d-1
-            idx = (u[:, None] + t) - jnp.arange(d)[None, :]
-            valid = (idx >= u[:, None]) & (idx <= u[:, None] + t)
-            svals = jnp.take_along_axis(Sp_pad, jnp.clip(idx, 0, Sp_pad.shape[1] - 1), axis=1)
-            svals = jnp.where(valid, svals, 0).astype(dt)
-            delta = field_dot(C, svals, axis=1)  # (B,)
-            # shift B first (maintains x^m * B implicitly)
-            Bp_shift = jnp.roll(Bp, 1, axis=1).at[:, 0].set(0)
-            coef = ops.multiply(delta, ops.reciprocal(bb))
-            C_new = ops.subtract(C, ops.multiply(Bp_shift, coef[:, None]))
-            upd = active & (delta != 0)
-            grow = upd & (2 * L <= t)
-            Bp = jnp.where(grow[:, None], C, Bp_shift)
-            bb = jnp.where(grow, delta, bb)
-            L = jnp.where(grow, (t + 1 - L).astype(jnp.int32), L)
-            C = jnp.where(upd[:, None], C_new, C)
-            return (C, Bp, L, bb), None
-
-        (C, Bp, L, bb), _ = jax.lax.scan(
-            bm_step, (C0, Bp0, L0, bb0), jnp.arange(nroots, dtype=jnp.int32)
-        )
-        v = L
+        # 4. BM on S'[u:]: shift each row once so index 0 is S'[u_b] (one
+        #    gather for the whole decode), then run the sliced-window scan.
+        idx = jnp.minimum(u[:, None] + jnp.arange(nroots)[None, :], nroots - 1)
+        Sp_shifted = jnp.where(
+            jnp.arange(nroots)[None, :] < (nroots - u[:, None]),
+            jnp.take_along_axis(Sp, idx, axis=1),
+            0,
+        ).astype(dt)
+        C, v = berlekamp_massey(Sp_shifted, u, B)
 
         fail = fail | (2 * v + u > nroots)
 
         # 5. Lambda_total = Gamma * Lambda  (C holds Lambda ascending, deg <= t)
         lam_total = conv_trunc(gamma, C, d)  # (B, d)
 
+        return finish(received, r_z, lam_total, Sp, C, v, u, fail)
+
+    @jax.jit
+    def decode_no_erasures(received):
+        """Erasure-free specialization: Gamma = 1, S' = S, u = 0 — the scan
+        over erasure positions and both Gamma convolutions drop out."""
+        B = received.shape[0]
+        r = jnp.flip(received, axis=1).astype(dt)
+        S = fmatmul(r, W)
+        u = jnp.zeros((B,), dtype=jnp.int32)
+        C, v = berlekamp_massey(S, u, B)
+        fail = 2 * v > nroots
+        return finish(received, r, C, S, C, v, u, fail)  # Lambda_total = C (d wide)
+
+    def finish(received, r_z, lam_total, Sp, C, v, u, fail):
         # 6. Chien search over design_n positions
         vals = fmatmul(lam_total, CH.T)  # (B, design_n)
         root = vals == 0
@@ -258,4 +297,4 @@ def make_decoder(
         # reference writes the corrected (erasure-zeroed) word on success.
         return out, n_errors
 
-    return decode
+    return decode_with_erasures if with_erasures else decode_no_erasures

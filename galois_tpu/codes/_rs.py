@@ -100,15 +100,15 @@ class ReedSolomon(_CyclicCode):
             self.d,
             self.c,
             int(self.alpha),
+            with_erasures=erasures is not None,
         )
         received = jnp.asarray(np.asarray(codeword, dtype=np.int64)).astype(
             field._meta.internal_dtype
         )
         if erasures is None:
-            era = jnp.zeros(received.shape, dtype=bool)
+            out, n_errors = decoder(received)
         else:
-            era = jnp.asarray(erasures)
-        out, n_errors = decoder(received, era)
+            out, n_errors = decoder(received, jnp.asarray(erasures))
         dec = field(np.asarray(out, dtype=np.int64))
         return dec, np.asarray(n_errors)
 
