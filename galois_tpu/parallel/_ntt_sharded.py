@@ -26,7 +26,7 @@ from ..fields._meta import FieldMeta
 from ..ops._kernels import get_ops
 from ..ops._ntt import FFTPlan, _plan
 
-__all__ = ["sharded_fft", "ShardedFFTPlan"]
+__all__ = ["sharded_fft", "sharded_batched_fft", "ShardedFFTPlan"]
 
 
 class ShardedFFTPlan:
@@ -211,8 +211,96 @@ def _sharded_plan(meta, N, omega, mode, mesh, axis):
     return ShardedFFTPlan(meta, N, omega, mode, mesh, axis)
 
 
+@functools.lru_cache(maxsize=None)
+def _replicated_fallback_fn(meta, N, omega, mode, mesh, axis):
+    """Graceful fallback when D^2 does not divide N (but D | N): all_gather
+    the input, run the full single-device plan redundantly on every device,
+    keep only the local output shard. Correct for any N the local plan
+    supports; communication is one all_gather instead of two all_to_alls."""
+    plan = _plan(meta, N, omega, mode)
+    tabs = plan.device_tables()
+    D = mesh.shape[axis]
+    storage_nd = 0 if meta.storage == "int" else 1
+
+    def local(xl, tabs):
+        full = jax.lax.all_gather(xl, axis, axis=0, tiled=True)  # (N, [w])
+        X = plan.transform(full[None], tabs)[0]
+        i = jax.lax.axis_index(axis)
+        return jax.lax.dynamic_slice_in_dim(X, i * (N // D), N // D, axis=0)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
+
+    spec_x = P(axis, *([None] * storage_nd))
+    spec_t = jax.tree.map(lambda _: P(), tabs)
+    fn = jax.jit(
+        shard_map(local, mesh=mesh, in_specs=(spec_x, spec_t), out_specs=spec_x, check_rep=False)
+    )
+    return lambda data: fn(data, tabs)
+
+
+def sharded_batched_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool = False):
+    """Batched NTT with the BATCH axis sharded over the mesh: x is (B, N[,w])
+    with B = D * b rows; every device transforms its own rows with the
+    single-device mixed-radix plan — embarrassingly parallel, zero
+    collectives (SURVEY §5 'parallelism & comms'; the reference's analogue
+    is the prange batch loop, src/galois/_domains/_function.py:247-384)."""
+    from ..fields._array import FieldArray
+    from ..fields._hostfield import get_host_field
+    from ..ops._ntt import _get_omega
+
+    meta = field_cls._meta
+    mode = field_cls._mode if field_cls._mode != "python-calculate" else meta.default_ufunc_mode
+    data = x._data if isinstance(x, FieldArray) else x
+    if data.ndim < 2:
+        raise ValueError("sharded_batched_fft expects a (batch, N) array.")
+    B, N = data.shape[0], data.shape[1]
+    D = mesh.shape[axis]
+    if B % D:
+        raise ValueError(f"Batch {B} must be divisible by the mesh axis size {D}.")
+    omega = _get_omega(field_cls, N)
+    hf = get_host_field(meta)
+    if inverse:
+        omega = hf.reciprocal(omega)
+    plan = _plan(meta, N, omega, mode)
+    tabs = plan.device_tables()
+    storage_nd = 0 if meta.storage == "int" else 1
+
+    if inverse:
+        n_inv = hf.reciprocal(N % meta.characteristic)
+
+    def local(xl, tabs):
+        out = plan.transform(xl, tabs)
+        if inverse:
+            ops = get_ops(meta, mode)
+            out = ops.multiply(out, ops.from_int_scalar(n_inv))
+        return out
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
+
+    spec_x = P(axis, None, *([None] * storage_nd))
+    spec_t = jax.tree.map(lambda _: P(), tabs)
+    fn = jax.jit(
+        shard_map(local, mesh=mesh, in_specs=(spec_x, spec_t), out_specs=spec_x, check_rep=False)
+    )
+    out = fn(data, tabs)
+    if isinstance(x, FieldArray):
+        return field_cls._view(out, x._dtype)
+    return out
+
+
 def sharded_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool = False):
-    """Transform a 1-D FieldArray (or storage array) of size N over the mesh."""
+    """Transform a 1-D FieldArray (or storage array) of size N over the mesh.
+
+    Uses the all-to-all 4-step plan when D^2 | N; falls back to the
+    replicated all_gather path when only D | N."""
     from ..fields._array import FieldArray
     from ..fields._hostfield import get_host_field
     from ..ops._ntt import _get_omega
@@ -225,8 +313,14 @@ def sharded_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool = False
     hf = get_host_field(meta)
     if inverse:
         omega = hf.reciprocal(omega)
-    plan = ShardedFFTPlan(meta, N, omega, mode, mesh, axis)
-    out = plan(data)
+    D = mesh.shape[axis]
+    if N % D:
+        raise ValueError(f"N={N} must at least be divisible by the mesh axis size {D}.")
+    try:
+        plan = _sharded_plan(meta, N, omega, mode, mesh, axis)
+        out = plan(data)
+    except ValueError:
+        out = _replicated_fallback_fn(meta, N, omega, mode, mesh, axis)(data)
     if inverse:
         n_inv = hf.reciprocal(N % meta.characteristic)
         ops = get_ops(meta, mode)

@@ -69,3 +69,46 @@ def test_sharded_matches_batch_of_sizes(mesh):
         x = F.Random(N, seed=N)
         X = sharded_fft(F, x, mesh, "x")
         assert np.array_equal(np.asarray(X), np.asarray(field_fft(x)))
+
+
+def test_sharded_ntt_non_dsquared_fallback(mesh):
+    """D | N but D^2 does not divide N: the replicated all_gather fallback
+    must produce the same transform (VERDICT r1 item 8)."""
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import field_fft
+    from galois_tpu.parallel._ntt_sharded import sharded_fft
+
+    F = g.GF(257)
+    # N = 8 * 4 = 32: divisible by D=8 once, not by 64
+    x = F.Random(32, seed=11)
+    X = sharded_fft(F, x, mesh, "x")
+    assert np.array_equal(np.asarray(X), np.asarray(field_fft(x)))
+    xi = sharded_fft(F, X, mesh, "x", inverse=True)
+    assert np.array_equal(np.asarray(xi), np.asarray(x))
+
+
+def test_sharded_batched_ntt(mesh):
+    """Batch axis sharded over the mesh, transform axis local."""
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import field_fft
+    from galois_tpu.parallel._ntt_sharded import sharded_batched_fft
+
+    F = g.GF(3 * 2**30 + 1)
+    x = F.Random((16, 256), seed=12)
+    X = sharded_batched_fft(F, x, mesh, "x")
+    ref = np.stack([np.asarray(field_fft(x[i])) for i in range(16)])
+    assert np.array_equal(np.asarray(X), ref)
+    xi = sharded_batched_fft(F, X, mesh, "x", inverse=True)
+    assert np.array_equal(np.asarray(xi), np.asarray(x))
+
+
+def test_sharded_batched_ntt_goldilocks(mesh):
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import field_fft
+    from galois_tpu.parallel._ntt_sharded import sharded_batched_fft
+
+    F = g.GF(2**64 - 2**32 + 1)
+    x = F.Random((8, 128), seed=13)
+    X = sharded_batched_fft(F, x, mesh, "x")
+    ref = np.stack([np.asarray(field_fft(x[i]), dtype=object) for i in range(8)])
+    assert np.array_equal(np.asarray(X, dtype=object), ref)
