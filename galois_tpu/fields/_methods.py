@@ -79,14 +79,15 @@ def left_null_space(self):
     cls = type(A)
     m, n = A.shape
     I = cls.Identity(m)
-    # Reduce [A | I]; rows whose A-part vanished span the left null space.
-    AI = np.concatenate(
-        [np.asarray(A, dtype=object), np.asarray(I, dtype=object)], axis=1
-    )
-    R = _linalg.row_reduce(cls(AI), ncols=n)
-    Rnp = np.asarray(R, dtype=object)
-    rank = _nonzero_row_count(cls(Rnp[:, :n]))
-    LN = cls(Rnp[rank:, n:]) if rank < m else cls.Zeros((0, m))
+    # Reduce [A | I] on device; rows whose A-part vanished span the left
+    # null space (storage-array concatenate keeps device residency).
+    import jax.numpy as jnp
+
+    axis = A._data.ndim - 1 - cls._storage_ndim()
+    AI = cls._view(jnp.concatenate([A._data, I._data], axis=axis), A._dtype)
+    R = _linalg.row_reduce(AI, ncols=n)
+    rank = _nonzero_row_count(R[:, :n])
+    LN = R[rank:, n:] if rank < m else cls.Zeros((0, m))
     # Row-reduce the basis for canonical form
     if LN.shape[0] > 0:
         LN = _linalg.row_reduce(LN)
