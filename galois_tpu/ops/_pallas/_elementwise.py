@@ -158,13 +158,17 @@ def _swar_fold(c, slot_bits: int, width: int, m: int, f: int):
 
 
 def _swar_nib_ladder(x, y, nbits: int):
-    """Byte-slot carry-less multiply: x (<=4-bit slots) by nbits of y."""
+    """Byte-slot carry-less multiply: x (<=4-bit slots) by nbits of y.
+
+    The 0/1-per-byte bit expands to a 0x7F byte mask via (bit<<7)-bit —
+    two cheap VPU ops instead of a 32-bit multiply; no borrow crosses a
+    byte slot because each slot's minuend >= subtrahend.
+    """
     ones = jnp.uint32(0x01010101)
-    sel = jnp.uint32(0x7F)
     acc = x ^ x
     for i in range(nbits):
         bit = (y >> i) & ones
-        acc = acc ^ ((x << i) & (bit * sel))
+        acc = acc ^ ((x << i) & ((bit << 7) - bit))
     return acc
 
 

@@ -58,24 +58,35 @@ def _divmod_kernel(meta: FieldMeta, mode: str, n: int, m: int):
     (src/galois/_polys/_dense.py:126-198) for large single polynomials.
     Returns (quotient (n-m+1,[w]), remainder (m-1 or 1,[w]))."""
     ops = get_ops(meta, mode)
-    vec = meta.storage != "int"
 
     @jax.jit
     def run(a, b, inv_lead):
+        # All scan state in limb-tuple form (identity for int storage): a
+        # stacked (n, w) carry maps the w-limb minor axis onto TPU lanes at
+        # w/128 utilization and relayouts every step.
+        bt = ops.split_limbs(b)
+        invt = ops.split_limbs(inv_lead)
+
         def step(r, i):
-            qi = jax.lax.dynamic_index_in_dim(r, i, axis=0, keepdims=False)
-            prod = ops.multiply(qi[None] if not vec else qi[None, :], b)
-            seg = jax.lax.dynamic_slice_in_dim(r, i, m, axis=0)
-            seg = ops.subtract(seg, prod)
-            r = jax.lax.dynamic_update_slice_in_dim(r, seg, i, axis=0)
+            qi = ops.tmap(
+                lambda L: jax.lax.dynamic_index_in_dim(L, i, axis=0, keepdims=False), r
+            )
+            prod = ops.multiply_t(ops.tmap(lambda L: L[None], qi), bt)
+            seg = ops.tmap(lambda L: jax.lax.dynamic_slice_in_dim(L, i, m, axis=0), r)
+            seg = ops.subtract_t(seg, prod)
+            r = ops.tmap(
+                lambda L, S: jax.lax.dynamic_update_slice_in_dim(L, S, i, axis=0), r, seg
+            )
             return r, qi
 
-        r, qs = jax.lax.scan(step, a, jnp.arange(n - m + 1))
+        r, qs = jax.lax.scan(step, ops.split_limbs(a), jnp.arange(n - m + 1))
         # b was normalized monic; un-scale the quotient by the true leading
         # coefficient's inverse: a = (q * lead) * b_monic + r.
-        q = ops.multiply(qs, inv_lead[None] if not vec else inv_lead[None, :])
-        rem = r[n - m + 1 :] if m > 1 else r[:1] * 0
-        return q, rem
+        q = ops.multiply_t(qs, ops.tmap(lambda L: L[None], invt))
+        rem = ops.tmap(
+            (lambda L: L[n - m + 1 :]) if m > 1 else (lambda L: L[:1] * 0), r
+        )
+        return ops.join_limbs(q), ops.join_limbs(rem)
 
     return run
 

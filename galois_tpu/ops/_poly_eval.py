@@ -27,15 +27,18 @@ def _eval_kernel(meta: FieldMeta, mode: str):
 
     @jax.jit
     def run(coeffs, x):
-        # coeffs: (n_coeffs, [w]) descending; x: (..., [w])
+        # coeffs: (n_coeffs, [w]) descending; x: (..., [w]). All scan
+        # carries go through the limb-tuple protocol (identity for int
+        # storage) so limb fields keep full-lane layouts across steps.
         n = coeffs.shape[0]
+        xt = ops.split_limbs(x)
         if n < 64:
             def body(acc, c):
-                return ops.add(ops.multiply(acc, x), c), None
+                return ops.add_t(ops.multiply_t(acc, xt), ops.split_limbs(c)), None
 
-            acc0 = ops.zero_like(x)
+            acc0 = ops.split_limbs(ops.zero_like(x))
             acc, _ = jax.lax.scan(body, acc0, coeffs)
-            return acc
+            return ops.join_limbs(acc)
 
         # Two-level Horner: f(x) = sum_i C_i(x) * (x^c)^i with k chunks of c
         # coefficients. Sequential depth drops from n to ~c + k + 2 log2 c
@@ -53,33 +56,38 @@ def _eval_kernel(meta: FieldMeta, mode: str):
         B = asc.reshape((k, c) + asc.shape[1:])  # B[i, j] = coeff of x^(i*c+j)
         Bj = jnp.flip(jnp.moveaxis(B, 1, 0), axis=0)  # (c, k, [w]) descending j
 
-        xb = x[None] if storage_nd == 0 else x[None]  # (1, ..., [w]) broadcast vs k
+        elem_nd = x.ndim - storage_nd
+        xb = ops.tmap(lambda L: L[None], xt)  # (1, ..., [w]) broadcast vs k
 
         def inner(acc, cj):
-            # acc: (k, ..., [w]); cj: (k, [w]) -> broadcast over x dims
-            cjb = cj[(slice(None),) + (None,) * (x.ndim - storage_nd)]
-            return ops.add(ops.multiply(acc, xb), cjb), None
+            # acc: (k, ...[, w]) tuple-limbs; cj: (k, [w]) -> broadcast over x dims
+            cjb = ops.tmap(
+                lambda L: L[(slice(None),) + (None,) * elem_nd], ops.split_limbs(cj)
+            )
+            return ops.add_t(ops.multiply_t(acc, xb), cjb), None
 
-        acc0 = jnp.zeros((k,) + x.shape, dtype=x.dtype)
-        A, _ = jax.lax.scan(inner, acc0, Bj)  # (k, ..., [w]): chunk values
+        acc0 = ops.tmap(lambda L: jnp.zeros((k,) + L.shape, dtype=L.dtype), xt)
+        A, _ = jax.lax.scan(inner, acc0, Bj)  # (k, ...) tuple: chunk values
 
         # y = x^c by square-and-multiply on the static exponent
         y = None
-        sq = x
+        sq = xt
         e = c
         while e:
             if e & 1:
-                y = sq if y is None else ops.multiply(y, sq)
+                y = sq if y is None else ops.multiply_t(y, sq)
             e >>= 1
             if e:
-                sq = ops.multiply(sq, sq)
+                sq = ops.multiply_t(sq, sq)
 
         def outer(out, Ai):
-            return ops.add(ops.multiply(out, y), Ai), None
+            return ops.add_t(ops.multiply_t(out, y), Ai), None
 
-        out0 = ops.zero_like(x)
-        out, _ = jax.lax.scan(outer, out0, jnp.flip(A, axis=0))
-        return out
+        out0 = ops.split_limbs(ops.zero_like(x))
+        out, _ = jax.lax.scan(
+            outer, out0, ops.tmap(lambda L: jnp.flip(L, axis=0), A)
+        )
+        return ops.join_limbs(out)
 
     return run
 
