@@ -206,10 +206,21 @@ def _element_char_poly(x, minimal: bool):
 
 
 def _matrix_char_poly(A):
-    """Berkowitz algorithm: division-free char poly over any field."""
+    """Characteristic polynomial of a square matrix.
+
+    Large int-storage matrices run on device (Hessenberg + minor
+    recurrence, ops/_charpoly.py); small or exotic-storage matrices use
+    the division-free host Berkowitz loop below."""
     from ..polys._poly import Poly
 
     cls = type(A)
+    n_sz = A.shape[0]
+    from ..ops import _charpoly
+
+    if _charpoly.supports(cls._meta) and n_sz * n_sz > 4096 and cls._mode != "python-calculate":
+        coeffs_asc = _charpoly.charpoly_data(cls._meta, cls._mode, A._data)
+        return Poly(cls._view(coeffs_asc[::-1], A._dtype))
+
     hf = get_host_field(cls._meta)
     M = [[int(v) for v in row] for row in np.asarray(A, dtype=object)]
     n = len(M)
@@ -253,12 +264,34 @@ def _matrix_char_poly(A):
 
 
 def _matrix_minimal_poly(A):
-    """Minimal polynomial of a matrix: smallest-degree monic annihilator,
-    found by solving for linear dependence of I, A, A^2, ..."""
+    """Minimal polynomial of a matrix: smallest-degree monic annihilator.
+
+    Large int-storage matrices use the device Krylov-dependence kernel
+    (ops/_minpoly.py) with lcm-over-random-vectors and an m(A) == 0
+    verification; small/exotic matrices solve for linear dependence of
+    I, A, A^2, ... on host."""
     from ..polys._poly import Poly
 
     cls = type(A)
     n = A.shape[0]
+
+    from ..ops import _minpoly
+
+    if _minpoly.supports(cls._meta) and n * n > 1024 and cls._mode != "python-calculate":
+        from .._polymorphic import lcm as poly_lcm
+
+        rng = np.random.default_rng(0x5EED)
+        m_poly = None
+        for _ in range(4):
+            v = cls(rng.integers(0, min(cls.order, 2**62), size=n, dtype=np.int64) % cls.order)
+            coeffs, d = _minpoly.krylov_minpoly_data(cls._meta, cls._mode, A._data, v._data)
+            d = int(d)
+            cand = Poly(cls._view(coeffs[: d + 1][::-1], A._dtype))
+            m_poly = cand if m_poly is None else poly_lcm(m_poly, cand)
+            if m_poly.degree >= n or np.count_nonzero(np.asarray(m_poly(A, elementwise=False))) == 0:
+                return m_poly
+        # verification failed (tiny-field degenerate sampling): host path
+
     hf = get_host_field(cls._meta)
     powers = [cls.Identity(n)]
     for _ in range(n):

@@ -259,3 +259,82 @@ def test_prime_matmul_planes_slow_path_no_int64_wrap():
     got = int((GF(a) @ GF(b))[0, 0])
     exp = int(sum(int(x) * int(y) for x, y in zip(a[0], b[:, 0])) % p)
     assert got == exp
+
+
+def test_device_charpoly_matches_host_berkowitz():
+    """Device Hessenberg + minor-recurrence char poly (ops/_charpoly.py)
+    agrees with the host Berkowitz loop across fields and shapes,
+    including rank-deficient matrices."""
+    import galois_tpu as g
+    from galois_tpu.ops import _charpoly
+
+    for order, seed in [(2, 1), (31, 2), (2**8, 3), (3**3, 4)]:
+        F = g.GF(order)
+        for n in [1, 2, 4, 7]:
+            A = F.Random((n, n), seed=seed * 10 + n)
+            host = A.characteristic_poly()
+            dev = _charpoly.charpoly_data(F._meta, F._mode, A._data)
+            assert [int(x) for x in np.asarray(dev)[::-1]] == [
+                int(c) for c in host.coefficients()
+            ], (order, n)
+    F = g.GF(31)
+    B = F([[1, 2, 3, 4], [1, 2, 3, 4], [0, 0, 0, 0], [5, 6, 7, 8]])
+    dev = _charpoly.charpoly_data(F._meta, F._mode, B._data)
+    assert [int(x) for x in np.asarray(dev)[::-1]] == [
+        int(c) for c in B.characteristic_poly().coefficients()
+    ]
+
+
+def test_device_charpoly_large_det_crosscheck():
+    """Above the 4096-element cutoff the device path is selected; verify
+    p(x0) == det(x0 I - A) at random scalars (evaluation cross-check)."""
+    import galois_tpu as g
+
+    F = g.GF(2**8)
+    A = F.Random((96, 96), seed=77)
+    p = A.characteristic_poly()
+    assert p.degree == 96
+    for x0 in [F(3), F(200)]:
+        M = F.Identity(96) * x0 - A
+        assert int(p(x0)) == int(np.linalg.det(M))
+
+
+def test_goldilocks_sqrt_and_tonelli_shanks():
+    """Tonelli-Shanks is now fori_loop-based (S=32 for Goldilocks unrolled
+    was a compile-time cliff); checks q = 1 mod 8 fields of each storage."""
+    import galois_tpu as g
+
+    p = 2**64 - 2**32 + 1
+    F = g.GF(p)
+    a = F([3, 12345, 0, p - 2])
+    sq = a * a
+    r = sq.sqrt()
+    assert all(int(x) * int(x) % p == int(s) for x, s in zip(r, sq))
+    G = g.GF(17)
+    b = G([2, 4, 8, 9, 13, 15, 16, 0, 1])
+    rb = (b * b).sqrt()
+    assert all(int(x) * int(x) % 17 == int(s) for x, s in zip(rb, b * b))
+
+
+def test_device_minimal_poly_krylov():
+    """Device Krylov minimal poly (ops/_minpoly.py): annihilates A, divides
+    the char poly, and recovers block-diagonal lcm structure."""
+    import galois_tpu as g
+    from galois_tpu._polymorphic import lcm
+
+    for order in [31, 2**8, 2]:
+        F = g.GF(order)
+        A = F.Random((40, 40), seed=3)
+        mp = A.minimal_poly()
+        assert np.count_nonzero(np.asarray(mp(A, elementwise=False))) == 0
+        q, r = divmod(A.characteristic_poly(), mp)
+        assert r == 0 or (r.degree == 0 and int(r.coeffs[0]) == 0)
+    F = g.GF(7)
+    B = F.Random((6, 6), seed=9)
+    host_mp = B.minimal_poly()  # under the device cutoff -> host path
+    Mbig = np.zeros((40, 40), dtype=int)
+    Mbig[:6, :6] = np.asarray(B, dtype=np.int64)
+    for i in range(6, 40):
+        Mbig[i, i] = 1
+    mp_big = F(Mbig).minimal_poly()
+    assert mp_big == lcm(host_mp, g.Poly([1, 6], field=F))
