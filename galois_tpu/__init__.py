@@ -100,4 +100,4 @@ from ._polymorphic import (  # noqa: E402
 )
 
 # The abstract array base class (reference: galois.Array).
-Array = FieldArray
+from .fields._array import Array  # noqa: E402

@@ -333,7 +333,21 @@ class FieldArrayMeta(type):
 # FieldArray
 # ----------------------------------------------------------------------
 
-class FieldArray(metaclass=FieldArrayMeta):
+class Array(metaclass=FieldArrayMeta):
+    """Abstract base class of all galois_tpu arrays (reference: galois.Array,
+    src/galois/_domains/_array.py:25). Exists so `isinstance(x, galois_tpu.Array)`
+    and `issubclass(GF, galois_tpu.Array)` behave as in the reference; concrete
+    behavior lives in FieldArray and the GF()-manufactured subclasses."""
+
+    _meta: FieldMeta = None
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Array is abstract; create a concrete field with GF(p**m)."
+        )
+
+
+class FieldArray(Array):
     """An array over GF(p^m). Instances wrap a jax.Array in the field's
     internal storage layout; the class (manufactured by `GF()`) carries the
     static field descriptor."""
