@@ -61,6 +61,11 @@ def _generator_matrix(g: Poly, n: int, k: int, systematic: bool):
         # x^(n-k) mod g = -(g - x^(n-k)); each row above is x * (row below)
         # reduced mod g — O(k(n-k)) field ops instead of k pow_mods.
         deg_g = n - k
+        if deg_g == 0:
+            # d = 1 trivial code: g(x) = 1, G = I_k, no parity columns
+            for i in range(k):
+                G[i, i] = 1
+            return field(G)
         rem = [F.negative(c) for c in ga[:deg_g]]  # x^(n-k) mod g, ascending
         rows = [list(rem)]
         for _ in range(k - 1):

@@ -338,3 +338,17 @@ def test_device_minimal_poly_krylov():
         Mbig[i, i] = 1
     mp_big = F(Mbig).minimal_poly()
     assert mp_big == lcm(host_mp, g.Poly([1, 6], field=F))
+
+
+def test_trivial_d1_cyclic_code_construction():
+    """d=1 codes have g(x)=1: G must be the identity with no parity block
+    (crashed with IndexError before the full-matrix run caught it)."""
+    import galois_tpu as g
+
+    bch = g.BCH(31, 31)
+    assert bch.d == 1 and bch.k == 31
+    G = np.asarray(bch.G, dtype=np.int64)
+    assert np.array_equal(G, np.eye(31, dtype=np.int64))
+    m = g.GF2.Random((2, 31), seed=1)
+    c = bch.encode(m)
+    assert np.array_equal(np.asarray(c), np.asarray(m))
