@@ -91,6 +91,16 @@ def time_single(op, x, b, reps=5):
     return t if t > 1e-8 else None
 
 
+def _dev_rand_u32(n, seed):
+    """Device-side pseudo-random u32s: a 512 MB host->device transfer over
+    the axon tunnel takes minutes, so bench data must be born on device."""
+    x = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(seed * 2654435761 % 2**32)
+    x = x * jnp.uint32(2246822519)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(2654435761)
+    return x ^ (x >> 13)
+
+
 def main():
     import galois_tpu as gt
     from galois_tpu.ops._kernels import get_ops
@@ -105,8 +115,8 @@ def main():
     GF256 = gt.GF(2**8)
     meta = GF256._meta
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(1, 256, N, dtype=np.int64).astype(np.uint8))
-    b = jnp.asarray(rng.integers(1, 256, N, dtype=np.int64).astype(np.uint8))
+    a = (_dev_rand_u32(N, 1) % 255 + 1).astype(jnp.uint8)
+    b = (_dev_rand_u32(N, 2) % 255 + 1).astype(jnp.uint8)
     results["dispatch_floor_us"] = dispatch_floor() * 1e6
     # Chained timing notes: the fori_loop'd LOOKUP chain (64 dependent
     # gathers at 2^26) faults the TPU worker through the remote tunnel, so
@@ -117,7 +127,7 @@ def main():
     best = None
     for mode in ("jit-lookup", "jit-calculate"):
         ops = get_ops(meta, mode)
-        t1 = time_single(ops.multiply, a, b)
+        t1 = time_single(ops.multiply_bulk, a, b)
         gops1 = N / t1 / 1e9 if t1 else None
         chain_ok = mode != "jit-lookup" or platform != "tpu"
         if chain_ok:
@@ -150,19 +160,33 @@ def main():
         og = get_ops(GFg._meta, "jit-calculate")
         w = GFg._meta.storage_width
         Ng = N // 8
-        ag = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
-        bg = jnp.asarray(rng.integers(0, 2**16, (Ng, w), dtype=np.int64).astype(np.uint16))
+        ag = _dev_rand_u32(Ng * w, 3).astype(jnp.uint16).reshape(Ng, w)
+        bg = _dev_rand_u32(Ng * w, 4).astype(jnp.uint16).reshape(Ng, w)
         tg = time_single(og.multiply, ag, bg)
         results["goldilocks_mul_gops"] = Ng / tg / 1e9 if tg else "sub-floor"
         results["goldilocks_mul_chain_gops"] = Ng / time_chained(og.multiply, ag, bg) / 1e9
+        # tuple-carry chain: what composite kernels (Horner, pow, NTT
+        # stages) actually pay per multiply via the limb-tuple protocol
+        CHAIN_T = 16
+
+        @jax.jit
+        def chain_t(x, y):
+            yt = og.split_limbs(y)
+            acc = jax.lax.fori_loop(
+                0, CHAIN_T, lambda i, acc: og.multiply_t(acc, yt), og.split_limbs(x)
+            )
+            return og.join_limbs(acc)
+
+        t = time_call(chain_t, ag, bg) / CHAIN_T
+        results["goldilocks_mul_tuple_chain_gops"] = Ng / t / 1e9
     except Exception as e:  # pragma: no cover
         results["goldilocks_mul_error"] = str(e)
 
     # --- 31-bit prime field multiply (all-u32 Mersenne folds) ---
     GFm = gt.GF(2**31 - 1)
     om = get_ops(GFm._meta, "jit-calculate")
-    am = jnp.asarray(rng.integers(0, 2**31 - 1, N // 2, dtype=np.int64).astype(np.uint32))
-    bm = jnp.asarray(rng.integers(0, 2**31 - 1, N // 2, dtype=np.int64).astype(np.uint32))
+    am = _dev_rand_u32(N // 2, 5) % jnp.uint32(2**31 - 1)
+    bm = _dev_rand_u32(N // 2, 6) % jnp.uint32(2**31 - 1)
     tm = time_single(om.multiply, am, bm)
     tmc = time_chained(om.multiply, am, bm)
     results["gf_m31_mul_chain_gops"] = (N // 2) / tmc / 1e9
@@ -200,7 +224,7 @@ def main():
         omega = _get_omega(GFn, 2**20)
         plan = _plan(GFn._meta, 2**20, omega, "jit-calculate")
         fftj = _fft_jit(plan)
-        xs = jnp.asarray(rng.integers(0, pn, 2**20, dtype=np.int64).astype(np.uint32))
+        xs = _dev_rand_u32(2**20, 7) % jnp.uint32(pn)
 
         # NOTE: chaining several transforms in one fori_loop sends XLA's
         # algebraic simplifier into a near-infinite loop on the modular
@@ -216,7 +240,7 @@ def main():
         if platform == "tpu":
             omega24 = _get_omega(GFn, 2**24)
             plan24p = _plan(GFn._meta, 2**24, omega24, "jit-calculate")
-            xs24 = jnp.asarray(rng.integers(0, pn, 2**24, dtype=np.int64).astype(np.uint32))
+            xs24 = _dev_rand_u32(2**24, 8) % jnp.uint32(pn)
             t = max(time_call(_fft_jit(plan24p), xs24, reps=2) - dispatch_floor(), 1e-9)
             results["ntt_2^24_ms"] = t * 1e3
             results["ntt_2^24_xforms_per_s"] = 1.0 / t
@@ -235,11 +259,19 @@ def main():
         from galois_tpu.codes._decoder import make_decoder
 
         fmeta = rs.field._meta
-        dec = make_decoder(fmeta, rs.field._mode, 256, 255, 255, rs.d, rs.c, int(rs.alpha))
         rdev = jnp.asarray(cn.astype(np.uint8))
-        edev = jnp.zeros(rdev.shape, dtype=bool)
-        t = time_call(dec, rdev, edev)
+        # no-erasure specialization (the common decode path)
+        dec = make_decoder(
+            fmeta, rs.field._mode, 256, 255, 255, rs.d, rs.c, int(rs.alpha), with_erasures=False
+        )
+        t = time_call(dec, rdev)
         results["rs255_decode_cw_per_s"] = B / t
+        dec_e = make_decoder(
+            fmeta, rs.field._mode, 256, 255, 255, rs.d, rs.c, int(rs.alpha), with_erasures=True
+        )
+        edev = jnp.zeros(rdev.shape, dtype=bool)
+        t = time_call(dec_e, rdev, edev)
+        results["rs255_decode_erasure_path_cw_per_s"] = B / t
     except Exception as e:  # pragma: no cover
         results["rs_error"] = str(e)
 
@@ -254,10 +286,11 @@ def main():
         from galois_tpu.codes._decoder import make_decoder as _mkdec
 
         ext = bch.extension_field
-        decb = _mkdec(ext._meta, ext._mode, 2, 511, 511, bch.d, bch.c, int(bch.alpha))
+        decb = _mkdec(
+            ext._meta, ext._mode, 2, 511, 511, bch.d, bch.c, int(bch.alpha), with_erasures=False
+        )
         rb = jnp.asarray(cwb.astype(ext._meta.internal_dtype))
-        eb = jnp.zeros(rb.shape, dtype=bool)
-        t = time_call(decb, rb, eb)
+        t = time_call(decb, rb)
         results["bch511_decode_cw_per_s"] = Bb / t
     except Exception as e:  # pragma: no cover
         results["bch_error"] = str(e)[:200]
@@ -298,8 +331,8 @@ def main():
 
         # batch 64 independent matmuls so total time clears the sync floor
         Bt = 64 if platform == "tpu" else 4
-        Am = jnp.asarray(rng.integers(0, 256, (Bt, 256, 256), dtype=np.int64).astype(np.uint8))
-        Bm = jnp.asarray(rng.integers(0, 256, (Bt, 256, 256), dtype=np.int64).astype(np.uint8))
+        Am = _dev_rand_u32(Bt * 256 * 256, 9).astype(jnp.uint8).reshape(Bt, 256, 256)
+        Bm = _dev_rand_u32(Bt * 256 * 256, 10).astype(jnp.uint8).reshape(Bt, 256, 256)
         bm_jit = jax.jit(lambda u, v: binary_matmul(GF256._meta, u, v))
         t = max(time_call(bm_jit, Am, Bm) - dispatch_floor(), 1e-9)
         results["gf256_matmul256_us"] = t / Bt * 1e6
@@ -308,14 +341,14 @@ def main():
 
     # --- Pallas variants (hardware lowering check + timing) ---
     # LAST on purpose: a Mosaic compile failure through the remote compile
-    # helper has been observed to wedge the device session; anything timed
-    # after it would report a spurious UNAVAILABLE device error. On TPU the
-    # attempt is additionally opt-in (GALOIS_TPU_BENCH_PALLAS=1) so a wedge
-    # cannot break whatever the harness runs after bench.py.
+    # helper can wedge the device session; anything timed after it would
+    # report a spurious UNAVAILABLE device error. The SWAR and M31 kernels
+    # have lowered reliably on hardware (round-2 probes), so this section
+    # now runs by default; GALOIS_TPU_BENCH_PALLAS=0 skips it.
     import os as _os
 
-    if platform == "tpu" and _os.environ.get("GALOIS_TPU_BENCH_PALLAS") != "1":
-        results["pallas"] = "skipped on TPU (set GALOIS_TPU_BENCH_PALLAS=1)"
+    if _os.environ.get("GALOIS_TPU_BENCH_PALLAS") == "0":
+        results["pallas"] = "skipped (GALOIS_TPU_BENCH_PALLAS=0)"
     else:
         _bench_pallas(results, meta, a, b, N, rng)
 
@@ -350,9 +383,19 @@ def _bench_pallas(results, meta, a, b, N, rng):
         results["pallas_probe"] = "ok"
         t = time_single(lambda x, y: gf2m_multiply_pallas(x, y, 8, meta.irreducible_poly_int, False), a, b)
         results["gf256_mul_pallas_gops"] = N / t / 1e9 if t else "sub-floor"
+        from galois_tpu.ops._pallas import gf2m_multiply_swar_pallas
+
+        t = time_single(
+            lambda x, y: gf2m_multiply_swar_pallas(x, y, 8, meta.irreducible_poly_int, False), a, b
+        )
+        results["gf256_mul_swar_pallas_gops"] = N / t / 1e9 if t else "sub-floor"
+        tc = time_chained(
+            lambda x, y: gf2m_multiply_swar_pallas(x, y, 8, meta.irreducible_poly_int, False), a, b
+        )
+        results["gf256_mul_swar_pallas_chain_gops"] = N / tc / 1e9
         p31 = 2**31 - 1
-        a31p = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
-        b31p = jnp.asarray(rng.integers(0, p31, N // 2, dtype=np.int64).astype(np.uint32))
+        a31p = _dev_rand_u32(N // 2, 11) % jnp.uint32(p31)
+        b31p = _dev_rand_u32(N // 2, 12) % jnp.uint32(p31)
         t = time_single(lambda x, y: prime_multiply_pallas(x, y, p31, False), a31p, b31p)
         results["gf_m31_mul_pallas_gops"] = (N // 2) / t / 1e9 if t else "sub-floor"
     except Exception as e:  # pragma: no cover

@@ -581,6 +581,10 @@ class FieldArray(Array):
         mode = cls._mode
         if mode == "python-calculate":
             return _python_op(cls._meta, opname)
+        if opname == "multiply":
+            # public elementwise multiplies may ride a Pallas kernel;
+            # composite device kernels keep the fusable ops.multiply
+            opname = "multiply_bulk"
         return _kernel(cls._meta, mode, opname)
 
     def _coerce(self, other, for_multiply=False):

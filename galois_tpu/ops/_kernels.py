@@ -81,6 +81,17 @@ class FieldOps:
     def divide(self, a, b):
         return self.multiply(a, self.reciprocal(b))
 
+    def multiply_bulk(self, a, b):
+        """Elementwise multiply as dispatched by the public ufunc path.
+
+        Same semantics as `multiply`. This seam exists so a subclass could
+        route large standalone arrays to a Pallas kernel while composite
+        kernels (decoder, NTT, scans) keep the fusable `multiply`; measured
+        on v5e hardware, the Pallas SWAR and lane-roll kernels do NOT beat
+        XLA's fused ladders (docs/PERFORMANCE.md round-2 notes), so every
+        field currently keeps the XLA path here."""
+        return self.multiply(a, b)
+
     # -- limb-tuple protocol ------------------------------------------------
     # Composite kernels whose lax.scan/fori_loop carries are field elements
     # (pow ladders, Horner, butterfly stages) use split_limbs/join_limbs at
@@ -1160,6 +1171,11 @@ class LookupOps:
         r = self._take(self.EXP, la + lb)
         zero = jnp.logical_or(a == 0, b == 0)
         return jnp.where(zero, 0, r).astype(self.dt)
+
+    def multiply_bulk(self, a, b):
+        # without this override __getattr__ would delegate to the CALC
+        # ops' multiply_bulk, silently leaving lookup mode
+        return self.multiply(a, b)
 
     def square(self, a):
         return self.multiply(a, a)

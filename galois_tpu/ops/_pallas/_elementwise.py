@@ -134,6 +134,115 @@ def prime_multiply_pallas(a, b, p: int, interpret: bool = False):
     return out.reshape(-1)[:n].astype(orig_dtype)
 
 
+def _gold_mul_digits(da, db):
+    """Goldilocks product of 4x16-bit digit vectors -> 4 canonical digits.
+
+    Mirrors GoldilocksOps.multiply_t (ops/_kernels.py): schoolbook 16x16
+    products, 2^64 = 2^32 - 1 / 2^96 = -1 folds, signed carry propagation,
+    conditional subtract of p. All in u32/i32 lanes."""
+    zero = jnp.zeros_like(da[0])
+    cols = [zero] * 8
+    for i in range(4):
+        for j in range(4):
+            prod = da[i] * db[j]
+            k = i + j
+            cols[k] = cols[k] + (prod & 0xFFFF)
+            cols[k + 1] = cols[k + 1] + (prod >> 16)
+    g = []
+    carry = zero
+    for k in range(8):
+        t = cols[k] + carry
+        g.append(t & 0xFFFF)
+        carry = t >> 16
+    g = [x.astype(jnp.int32) for x in g]
+
+    def prop4(cols):
+        digs = []
+        carry = jnp.zeros_like(cols[0])
+        for c in cols:
+            t = c + carry
+            digs.append(t & 0xFFFF)
+            carry = t >> 16
+        return digs, carry
+
+    cols = [g[0] - g[4] - g[6], g[1] - g[5] - g[7], g[2] + g[4], g[3] + g[5]]
+    for _ in range(2):
+        digs, carry = prop4(cols)
+        cols = [digs[0] - carry, digs[1], digs[2] + carry, digs[3]]
+    digs, _ = prop4(cols)
+    # conditional subtract p = (1, 0, 0xFFFF, 0xFFFF) base-2^16
+    P_DIGS = (1, 0, 0xFFFF, 0xFFFF)
+    borrow = jnp.zeros_like(digs[0])
+    diff = []
+    for dk, pk in zip(digs, P_DIGS):
+        t = dk - pk - borrow
+        diff.append(t & 0xFFFF)
+        borrow = (t >> 16) & 1
+    ge = borrow == 0
+    return [jnp.where(ge, df, dg).astype(jnp.uint32) for df, dg in zip(diff, digs)]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def goldilocks_multiply_pallas(a, b, interpret: bool = False):
+    """Goldilocks multiply on (..., 4) u16 limb storage.
+
+    The XLA path pays a catastrophic strided relayout splitting the
+    minor limb axis out of HBM (~12 ms at 2^23 elements, measured); here
+    the de-interleave happens on VMEM lanes: limb j of an element sits at
+    lane 4k+j, three lane-rolls align all four limb vectors at the
+    element's base lane, the product is computed at 1/4 lane utilization
+    (compute is far from the bottleneck), and three rolls scatter the
+    result limbs back.
+    """
+    orig_shape = a.shape
+    af = a.reshape(-1).astype(jnp.uint16)
+    bf = b.reshape(-1).astype(jnp.uint16)
+    n = af.shape[0]
+    blk_rows = int(os.environ.get("GALOIS_TPU_GOLD_BLK", "256"))
+    if n < blk_rows * 1024:
+        blk_rows = 16
+    BLK = blk_rows * 1024
+    pad = (-n) % BLK
+    if pad:
+        zeros = jnp.zeros((pad,), jnp.uint16)
+        af = jnp.concatenate([af, zeros])
+        bf = jnp.concatenate([bf, zeros])
+    rows = af.shape[0] // 1024
+
+    def roll_l(x, shift):
+        if interpret:
+            return jnp.roll(x, shift, axis=1)
+        # pltpu.roll requires a non-negative i32 shift (x64 mode would trace
+        # a Python int as i64); same wrap semantics as jnp.roll (verified
+        # against the XLA kernel on hardware).
+        return pltpu.roll(x, jnp.int32(shift % x.shape[1]), 1)
+
+    def kernel(a_ref, b_ref, o_ref):
+        av = a_ref[:].astype(jnp.uint32)
+        bv = b_ref[:].astype(jnp.uint32)
+        da = [av] + [roll_l(av, -j) for j in range(1, 4)]
+        db = [bv] + [roll_l(bv, -j) for j in range(1, 4)]
+        r = _gold_mul_digits(da, db)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, av.shape, 1) & 3
+        out = r[0]
+        for j in range(1, 4):
+            out = jnp.where(lane == j, roll_l(r[j], j), out)
+        o_ref[:] = out.astype(jnp.uint16)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, 1024), jnp.uint16),
+        grid=(rows // blk_rows,),
+        in_specs=[
+            pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(af.reshape(rows, 1024), bf.reshape(rows, 1024))
+    return out.reshape(-1)[:n].reshape(orig_shape)
+
+
 def _swar_rep(v: int, slot_bits: int) -> "jnp.uint32":
     """Replicate an integer constant into every `slot_bits` slot of a u32."""
     return jnp.uint32(sum(v << (slot_bits * k) for k in range(32 // slot_bits)))
@@ -213,8 +322,11 @@ def gf2m_multiply_swar_pallas(a, b, m: int, f_int: int, interpret: bool = False)
     orig_dtype = a.dtype
     af = a.reshape(-1).astype(jnp.uint8)
     bf = b.reshape(-1).astype(jnp.uint8)
-    BLK = 32 * 1024
     n = af.shape[0]
+    blk_rows = int(os.environ.get("GALOIS_TPU_SWAR_BLK", "32"))
+    if n < blk_rows * 1024:
+        blk_rows = 32
+    BLK = blk_rows * 1024
     pad = (-n) % BLK
     if pad:
         zeros = jnp.zeros((pad,), jnp.uint8)
@@ -230,12 +342,12 @@ def gf2m_multiply_swar_pallas(a, b, m: int, f_int: int, interpret: bool = False)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((rows, 1024), jnp.uint8),
-        grid=(rows // 32,),
+        grid=(rows // blk_rows,),
         in_specs=[
-            pl.BlockSpec((32, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((32, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(af.reshape(rows, 1024), bf.reshape(rows, 1024))
     return out.reshape(-1)[:n].reshape(orig_shape).astype(orig_dtype)

@@ -68,3 +68,23 @@ def test_gf2m_multiply_pallas_interpret():
     )
     expect = np.array([hf.multiply(int(x), int(y)) for x, y in zip(a[:256], b[:256])])
     assert np.array_equal(np.asarray(out, dtype=np.int64)[:256], expect)
+
+
+def test_goldilocks_multiply_pallas_interpret():
+    """Lane-roll de-interleave Goldilocks multiply (interpret mode) matches
+    the XLA limb kernel, including padding tails and corner values."""
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import get_ops
+    from galois_tpu.ops._pallas._elementwise import goldilocks_multiply_pallas
+
+    p = 2**64 - 2**32 + 1
+    F = g.GF(p)
+    ops = get_ops(F._meta, "jit-calculate")
+    rng = np.random.default_rng(0)
+    vals = [int(x) % p for x in rng.integers(0, p, 1500, dtype=np.uint64)]
+    vals += [0, 1, p - 1, 2**32, 2**32 - 1, p - 2**32]
+    A = F(vals)
+    B = F(vals[::-1])
+    out = goldilocks_multiply_pallas(A._data, B._data, True)
+    exp = ops.multiply(A._data, B._data)
+    assert np.array_equal(np.asarray(out), np.asarray(exp))
