@@ -41,7 +41,11 @@ def block(x):
 
 
 def time_chained(op, x, b, reps=3):
-    """Best per-op seconds for y = op(...op(op(x, b), b)..., b), CHAIN deep."""
+    """Best per-op seconds for y = op(...op(op(x, b), b)..., b), CHAIN deep.
+
+    The total includes ONE dispatch/sync round-trip: total = RTT + CHAIN*op,
+    so the floor is subtracted from the total before dividing (not doing so
+    understated every chain number by RTT/CHAIN ~= 0.5 ms in round 1)."""
 
     @jax.jit
     def chain(x, b):
@@ -53,7 +57,7 @@ def time_chained(op, x, b, reps=3):
         t0 = time.perf_counter()
         block(chain(x, b))
         best = min(best, time.perf_counter() - t0)
-    return best / CHAIN
+    return max(best - dispatch_floor(), 1e-9) / CHAIN
 
 
 def time_call(fn, *args, reps=3, warmup=1):
@@ -177,7 +181,7 @@ def main():
             )
             return og.join_limbs(acc)
 
-        t = time_call(chain_t, ag, bg) / CHAIN_T
+        t = max(time_call(chain_t, ag, bg) - dispatch_floor(), 1e-9) / CHAIN_T
         results["goldilocks_mul_tuple_chain_gops"] = Ng / t / 1e9
     except Exception as e:  # pragma: no cover
         results["goldilocks_mul_error"] = str(e)
