@@ -34,6 +34,8 @@ def _is_int(x) -> bool:
 
 
 def gcd(a, b):
+    """Greatest common divisor of two ints or two Polys
+    (reference: src/galois/_polymorphic.py:22-89)."""
     if _is_int(a) and _is_int(b):
         return _nt.gcd(int(a), int(b))
     if isinstance(a, Poly) and isinstance(b, Poly):
@@ -42,6 +44,8 @@ def gcd(a, b):
 
 
 def egcd(a, b):
+    """Extended Euclidean algorithm: (d, s, t) with a s + b t = d
+    (reference: src/galois/_polymorphic.py:92-170)."""
     if _is_int(a) and _is_int(b):
         return _nt.egcd(int(a), int(b))
     if isinstance(a, Poly) and isinstance(b, Poly):
@@ -50,6 +54,8 @@ def egcd(a, b):
 
 
 def lcm(*values):
+    """Least common multiple of ints or Polys
+    (reference: src/galois/_polymorphic.py:173-236)."""
     if all(_is_int(v) for v in values):
         return _nt.lcm(*[int(v) for v in values])
     if all(isinstance(v, Poly) for v in values):
@@ -58,6 +64,7 @@ def lcm(*values):
 
 
 def prod(*values):
+    """Product of ints or Polys (reference: src/galois/_polymorphic.py:239-300)."""
     if all(_is_int(v) for v in values):
         return _nt.prod(*[int(v) for v in values])
     if all(isinstance(v, Poly) for v in values):
@@ -86,6 +93,8 @@ def are_coprime(*values) -> bool:
 
 
 def crt(remainders: Sequence, moduli: Sequence):
+    """Chinese remainder theorem over ints or Polys: the unique solution
+    modulo the moduli's product (reference: src/galois/_polymorphic.py:389-475)."""
     if all(_is_int(v) for v in list(remainders) + list(moduli)):
         return _nt.crt([int(r) for r in remainders], [int(m) for m in moduli])
     if all(isinstance(v, Poly) for v in list(remainders) + list(moduli)):
@@ -94,6 +103,8 @@ def crt(remainders: Sequence, moduli: Sequence):
 
 
 def factors(value):
+    """Factor an int into primes or a Poly into irreducibles, with
+    multiplicities (reference: src/galois/_polymorphic.py:478-565)."""
     if _is_int(value):
         return _nt.factors(int(value))
     if isinstance(value, Poly):
@@ -102,6 +113,8 @@ def factors(value):
 
 
 def is_square_free(value) -> bool:
+    """Whether an int or Poly has no repeated factor
+    (reference: src/galois/_polymorphic.py:568-639)."""
     if _is_int(value):
         return _nt.is_square_free(int(value))
     if isinstance(value, Poly):

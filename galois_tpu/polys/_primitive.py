@@ -107,6 +107,9 @@ def primitive_polys(
     terms: Union[int, str, None] = None,
     reverse: bool = False,
 ) -> Iterator[Poly]:
+    """Iterate over all monic primitive polynomials of the given degree over
+    GF(order), optionally restricted to `terms` nonzero terms
+    (reference: src/galois/_polys/_primitive.py:157-256)."""
     from ..fields import GF
 
     order, degree = int(order), int(degree)
