@@ -1149,6 +1149,12 @@ class LookupOps:
     """Mixin-style wrapper: EXP/LOG-table gathers for mul/div/recip/pow/log;
     everything else delegates to the calculate ops."""
 
+    # On TPU, XLA lowers these table gathers ~1000x off pace; arrays above
+    # this size (and tables small enough for chunked VMEM gathers) route to
+    # the Pallas lookup kernels instead (ops/_pallas/_elementwise.py).
+    PALLAS_MIN_SIZE = 1 << 13
+    PALLAS_MAX_ORDER = 1 << 12
+
     def __init__(self, calc: FieldOps):
         self._calc = calc
         self.meta = calc.meta
@@ -1164,8 +1170,30 @@ class LookupOps:
     def _take(self, table, idx):
         return jnp.take(jnp.asarray(table), idx.astype(jnp.int32), axis=0)
 
+    def _use_pallas(self, *arrays):
+        if self.meta.order > self.PALLAS_MAX_ORDER:
+            return False
+        if max(x.size for x in arrays) < self.PALLAS_MIN_SIZE:
+            return False
+        from ._pallas._elementwise import _HAVE_PALLAS
+
+        return _HAVE_PALLAS and jax.default_backend() == "tpu"
+
+    def _padded_tables(self):
+        from ._pallas._elementwise import _pad128
+
+        return jnp.asarray(_pad128(self.EXP)), jnp.asarray(_pad128(self.LOG))
+
     def multiply(self, a, b):
         q = self.meta.order
+        if self._use_pallas(a, b):
+            from ._pallas._elementwise import lookup_multiply_pallas
+
+            exp_t, log_t = self._padded_tables()
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            A = jnp.broadcast_to(a, shape)
+            B = jnp.broadcast_to(b, shape)
+            return lookup_multiply_pallas(A, B, exp_t, log_t, q).astype(self.dt)
         la = self._take(self.LOG, a)
         lb = self._take(self.LOG, b)
         r = self._take(self.EXP, la + lb)
@@ -1182,11 +1210,24 @@ class LookupOps:
 
     def reciprocal(self, a):
         q = self.meta.order
+        if self._use_pallas(a):
+            from ._pallas._elementwise import lookup_reciprocal_pallas
+
+            exp_t, log_t = self._padded_tables()
+            return lookup_reciprocal_pallas(a, exp_t, log_t, q).astype(self.dt)
         la = self._take(self.LOG, a)
         return self._take(self.EXP, (q - 1) - la).astype(self.dt)
 
     def divide(self, a, b):
         q = self.meta.order
+        if self._use_pallas(a, b):
+            from ._pallas._elementwise import lookup_divide_pallas
+
+            exp_t, log_t = self._padded_tables()
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            A = jnp.broadcast_to(a, shape)
+            B = jnp.broadcast_to(b, shape)
+            return lookup_divide_pallas(A, B, exp_t, log_t, q).astype(self.dt)
         la = self._take(self.LOG, a)
         lb = self._take(self.LOG, b)
         r = self._take(self.EXP, la + ((q - 1) - lb))

@@ -243,6 +243,152 @@ def goldilocks_multiply_pallas(a, b, interpret: bool = False):
     return out.reshape(-1)[:n].reshape(orig_shape)
 
 
+# ----------------------------------------------------------------------
+# EXP/LOG lookup kernels (jit-lookup mode on TPU)
+# ----------------------------------------------------------------------
+#
+# XLA lowers table gathers catastrophically on TPU (~0.034 Gops/s for a
+# 256-entry table at 2^26). Mosaic's `tpu.dynamic_gather` runs at VPU
+# speed but requires source and index registers of identical (R, <=128)
+# shape, so tables are served in 128-entry chunks: one per-lane gather
+# per chunk plus a select tree on the chunk index. Measured: 11.7 Gops/s
+# for a 256-entry gather at 2^24 on one v5e chip — 343x the XLA path.
+
+_LOOKUP_BR = 256  # sublane rows per block; lanes fixed at 128
+
+
+def _taa_lanes(src, idx):
+    """take_along_axis(src, idx, axis=1) via an explicit int32 lax.gather
+    in the exact form Mosaic lowers to tpu.dynamic_gather (x64 mode would
+    make jnp.take_along_axis build int64 internals, which Mosaic rejects)."""
+    from jax import lax
+
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return lax.gather(
+        src,
+        idx[..., None].astype(jnp.int32),
+        dnums,
+        slice_sizes=(1, 1),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _gather_chunks(t_ref, idx, n_chunks: int, rows: int):
+    """table[idx] with a (n_chunks*128,) VMEM table and (rows, 128) idx."""
+    lo = idx & 127
+    hi = idx >> 7
+    res = None
+    for c in range(n_chunks):
+        tb = jnp.broadcast_to(t_ref[c * 128 : (c + 1) * 128].reshape(1, 128), (rows, 128))
+        g = _taa_lanes(tb, lo)
+        res = g if res is None else jnp.where(hi == c, g, res)
+    return res
+
+
+def _pad128(np_table):
+    import numpy as _np
+
+    t = _np.asarray(np_table, dtype=_np.int32)
+    pad = (-len(t)) % 128
+    if pad:
+        t = _np.concatenate([t, _np.zeros(pad, _np.int32)])
+    return t
+
+
+def _lookup_call(kernel, n_elems, dtype, tables, idx_arrays, interpret):
+    """Pad/reshape index arrays to (rows, 128) blocks and invoke."""
+    BR = _LOOKUP_BR
+    BLK = BR * 128
+    flat = [x.reshape(-1).astype(jnp.int32) for x in idx_arrays]
+    n = flat[0].shape[0]
+    pad = (-n) % BLK
+    if pad:
+        zeros = jnp.zeros((pad,), jnp.int32)
+        flat = [jnp.concatenate([x, zeros]) for x in flat]
+    rows = flat[0].shape[0] // 128
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        grid=(rows // BR,),
+        in_specs=[
+            pl.BlockSpec((len(t),), lambda i: (i - i,), memory_space=pltpu.VMEM)
+            for t in tables
+        ]
+        + [
+            pl.BlockSpec((BR, 128), lambda i: (i, i - i), memory_space=pltpu.VMEM)
+            for _ in flat
+        ],
+        out_specs=pl.BlockSpec((BR, 128), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*tables, *[x.reshape(rows, 128) for x in flat])
+    return out.reshape(-1)[:n].astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def lookup_multiply_pallas(a, b, exp_t, log_t, q: int, interpret: bool = False):
+    """EXP[LOG[a] + LOG[b]] with zero masking; tables 128-padded int32."""
+    n_log = log_t.shape[0] // 128
+    n_exp = exp_t.shape[0] // 128
+    BR = _LOOKUP_BR
+
+    def kernel(exp_ref, log_ref, a_ref, b_ref, o_ref):
+        av, bv = a_ref[:], b_ref[:]
+        la = _gather_chunks(log_ref, av, n_log, BR)
+        lb = _gather_chunks(log_ref, bv, n_log, BR)
+        r = _gather_chunks(exp_ref, la + lb, n_exp, BR)
+        o_ref[:] = jnp.where((av == 0) | (bv == 0), jnp.int32(0), r)
+
+    return _lookup_call(kernel, a.size, a.dtype, (exp_t, log_t), (a, b), interpret).reshape(a.shape)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def lookup_divide_pallas(a, b, exp_t, log_t, q: int, interpret: bool = False):
+    """EXP[LOG[a] + (q-1) - LOG[b]]; b == 0 is caller-validated."""
+    n_log = log_t.shape[0] // 128
+    n_exp = exp_t.shape[0] // 128
+    BR = _LOOKUP_BR
+
+    def kernel(exp_ref, log_ref, a_ref, b_ref, o_ref):
+        av, bv = a_ref[:], b_ref[:]
+        la = _gather_chunks(log_ref, av, n_log, BR)
+        lb = _gather_chunks(log_ref, bv, n_log, BR)
+        r = _gather_chunks(exp_ref, la + (q - 1) - lb, n_exp, BR)
+        o_ref[:] = jnp.where(av == 0, jnp.int32(0), r)
+
+    return _lookup_call(kernel, a.size, a.dtype, (exp_t, log_t), (a, b), interpret).reshape(a.shape)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def lookup_reciprocal_pallas(a, exp_t, log_t, q: int, interpret: bool = False):
+    n_log = log_t.shape[0] // 128
+    n_exp = exp_t.shape[0] // 128
+    BR = _LOOKUP_BR
+
+    def kernel(exp_ref, log_ref, a_ref, o_ref):
+        av = a_ref[:]
+        la = _gather_chunks(log_ref, av, n_log, BR)
+        o_ref[:] = _gather_chunks(exp_ref, (q - 1) - la, n_exp, BR)
+
+    return _lookup_call(kernel, a.size, a.dtype, (exp_t, log_t), (a,), interpret).reshape(a.shape)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def lookup_log_pallas(a, log_t, q: int, interpret: bool = False):
+    n_log = log_t.shape[0] // 128
+    BR = _LOOKUP_BR
+
+    def kernel(log_ref, a_ref, o_ref):
+        o_ref[:] = _gather_chunks(log_ref, a_ref[:], n_log, BR)
+
+    return _lookup_call(kernel, a.size, a.dtype, (log_t,), (a,), interpret).reshape(a.shape)
+
+
 def _swar_rep(v: int, slot_bits: int) -> "jnp.uint32":
     """Replicate an integer constant into every `slot_bits` slot of a u32."""
     return jnp.uint32(sum(v << (slot_bits * k) for k in range(32 // slot_bits)))

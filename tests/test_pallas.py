@@ -88,3 +88,35 @@ def test_goldilocks_multiply_pallas_interpret():
     out = goldilocks_multiply_pallas(A._data, B._data, True)
     exp = ops.multiply(A._data, B._data)
     assert np.array_equal(np.asarray(out), np.asarray(exp))
+
+
+def test_lookup_pallas_kernels_interpret():
+    """Chunked VMEM-gather EXP/LOG kernels (jit-lookup on TPU) match the
+    XLA lookup path, including zero handling, across table sizes."""
+    import jax.numpy as jnp
+
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import get_ops
+    from galois_tpu.ops._pallas._elementwise import (
+        _pad128,
+        lookup_divide_pallas,
+        lookup_multiply_pallas,
+        lookup_reciprocal_pallas,
+    )
+
+    for q in (2**8, 3**5, 5**3, 2**10):
+        F = g.GF(q)
+        lops = get_ops(F._meta, "jit-lookup")
+        rng = np.random.default_rng(q)
+        a = jnp.asarray(rng.integers(0, q, 2000).astype(F._meta.internal_dtype))
+        b = jnp.asarray(rng.integers(0, q, 2000).astype(F._meta.internal_dtype))
+        exp_t = jnp.asarray(_pad128(lops.EXP))
+        log_t = jnp.asarray(_pad128(lops.LOG))
+        out = lookup_multiply_pallas(a, b, exp_t, log_t, q, True)
+        assert np.array_equal(np.asarray(out), np.asarray(lops.multiply(a, b))), q
+        bnz = jnp.where(b == 0, 1, b)
+        out = lookup_divide_pallas(a, bnz, exp_t, log_t, q, True)
+        assert np.array_equal(np.asarray(out), np.asarray(lops.divide(a, bnz))), q
+        anz = jnp.where(a == 0, 1, a)
+        out = lookup_reciprocal_pallas(anz, exp_t, log_t, q, True)
+        assert np.array_equal(np.asarray(out), np.asarray(lops.reciprocal(anz))), q
