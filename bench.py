@@ -199,8 +199,24 @@ def main():
         (N // 2) / tmc / 1e9 if g1 is None else min(g1, (N // 2) / tmc / 1e9)
     )
 
+    # --- GF(3^5) small odd extension field (jit-lookup VMEM gathers beat
+    # the digit-convolution calculate path ~6x on TPU) ---
+    try:
+        GF243 = gt.GF(3**5)
+        l243 = get_ops(GF243._meta, "jit-lookup")
+        c243 = get_ops(GF243._meta, "jit-calculate")
+        N3 = N // 4
+        a3 = (_dev_rand_u32(N3, 13) % 243).astype(GF243._meta.internal_dtype)
+        b3 = (_dev_rand_u32(N3, 14) % 243).astype(GF243._meta.internal_dtype)
+        t = time_single(l243.multiply, a3, b3)
+        results["gf243_mul_lookup_gops"] = N3 / t / 1e9 if t else "sub-floor"
+        t = time_single(c243.multiply, a3, b3)
+        results["gf243_mul_calc_gops"] = N3 / t / 1e9 if t else "sub-floor"
+    except Exception as e:  # pragma: no cover
+        results["gf243_error"] = str(e)[:200]
+
     # --- GF(2^8) reciprocal (config 1: inv; default jit-calculate mode —
-    # lookup gathers are ~1000x off pace on TPU) ---
+    # lookup VMEM-gather kernels close most of the gap now) ---
     ops = get_ops(meta, "jit-calculate")
     t = time_call(jax.jit(ops.reciprocal), a, reps=3, warmup=1)
     results["gf256_recip_gops"] = N / max(t - dispatch_floor(), 1e-9) / 1e9
