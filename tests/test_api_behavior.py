@@ -301,3 +301,26 @@ def test_sqrt_non_square_raises():
     non_squares = [int(v) for v in np.asarray(GF.non_squares)]
     with pytest.raises(ArithmeticError):
         GF(non_squares).sqrt()
+
+
+def test_setitem_assignment():
+    """Functional setitem (reference: galois arrays support in-place element
+    assignment with range validation)."""
+    import galois_tpu as g
+
+    GF = g.GF(2**8)
+    x = GF([[1, 2], [3, 4]])
+    x[0, 0] = 99
+    assert int(x[0, 0]) == 99
+    x[1] = GF([7, 8])
+    assert np.array_equal(np.asarray(x), np.array([[99, 2], [7, 8]]))
+    x[:, 1] = 0
+    assert np.array_equal(np.asarray(x), np.array([[99, 0], [7, 0]]))
+    with pytest.raises((ValueError, OverflowError)):
+        x[0, 0] = 256  # out of range
+    # limb-storage setitem
+    p = 2**64 - 2**32 + 1
+    Fg = g.GF(p)
+    y = Fg([1, 2, 3])
+    y[1] = p - 1
+    assert int(y[1]) == p - 1
