@@ -114,16 +114,44 @@ def field_trace(self):
     """Tr(x) = sum x^(p^i) in the prime subfield — a LINEAR map, computed as
     one dot product with a host-precomputed trace vector (from Frobenius
     matrices), instead of m exponentiations
-    (reference: src/galois/_fields/_array.py:1757-1800)."""
+    (reference: src/galois/_fields/_array.py:1757-1800). Fully
+    device-resident and jit-safe: the basis-digit decomposition happens on
+    device per storage kind."""
+    import jax.numpy as jnp
+
     cls = type(self)
     meta = cls._meta
     sub = cls.prime_subfield
     if meta.degree == 1:
-        return sub(np.asarray(self, dtype=object))
-    t_vec = _trace_vector(meta)  # (m,) ints
-    digits = np.asarray(self.vector(), dtype=np.int64)[..., ::-1]  # ascending
-    tr = (digits * t_vec).sum(axis=-1) % meta.characteristic
-    return sub(tr if tr.ndim else int(tr))
+        return sub._view(self._data, self._dtype)
+    t_vec = _trace_vector(meta)  # (m,) ints, ascending basis order
+    p = meta.characteristic
+    d = self._data
+    if meta.storage == "int":
+        if p == 2:
+            digs = [(d >> i) & 1 for i in range(meta.degree)]
+        else:
+            digs = []
+            x = d.astype(jnp.uint32)
+            for _ in range(meta.degree):
+                digs.append(x % p)
+                x = x // p
+    elif meta.storage == "digits":
+        digs = [d[..., i] for i in range(meta.degree)]
+    else:  # limbs: binary extension bits across base-2^16 limbs
+        digs = [(d[..., i // 16] >> (i % 16)) & 1 for i in range(meta.degree)]
+    acc = None
+    for i in range(meta.degree):
+        c = int(t_vec[i])
+        if c == 0:
+            continue
+        term = digs[i].astype(jnp.uint64) * c
+        acc = term if acc is None else acc + term
+    if acc is None:
+        tr = jnp.zeros(digs[0].shape, dtype=sub._meta.internal_dtype)
+    else:
+        tr = (acc % p).astype(sub._meta.internal_dtype)
+    return sub._view(tr)
 
 
 @functools.lru_cache(maxsize=None)
@@ -141,15 +169,23 @@ def _trace_vector(meta):
 @_attach("field_norm")
 def field_norm(self):
     """N(x) = x^((q-1)/(p-1)), in the prime subfield
-    (reference: src/galois/_fields/_array.py:1802-1843)."""
+    (reference: src/galois/_fields/_array.py:1802-1843). Device-resident:
+    the result lies in the prime subfield, so its storage is digit 0."""
     cls = type(self)
     meta = cls._meta
     sub = cls.prime_subfield
     if meta.degree == 1:
-        return sub(np.asarray(self, dtype=object))
+        return sub._view(self._data, self._dtype)
     e = (meta.order - 1) // (meta.characteristic - 1)
     norm = self**e
-    return sub(np.asarray(norm, dtype=object))
+    d = norm._data
+    if meta.storage == "int":
+        out = d.astype(sub._meta.internal_dtype)  # value < p already
+    elif meta.storage == "digits":
+        out = d[..., 0].astype(sub._meta.internal_dtype)
+    else:  # limbs: binary extension, norm in GF(2) is bit 0 of limb 0
+        out = (d[..., 0] & 1).astype(sub._meta.internal_dtype)
+    return sub._view(out)
 
 
 @_attach("characteristic_poly")
