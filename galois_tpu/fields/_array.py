@@ -737,20 +737,68 @@ class FieldArray(Array):
 
     def additive_order(self):
         """1 for zero, else the characteristic
-        (reference: src/galois/_fields/_array.py:1258-1291)."""
-        x = np.asarray(self)
+        (reference: src/galois/_fields/_array.py:1258-1291). jit-safe for
+        p < 2^63 (the zero test and select run on device)."""
+        cls = type(self)
         p = self._meta.characteristic
+        traced = isinstance(self._data, jax.core.Tracer)
         if p <= np.iinfo(np.int64).max:
-            order = np.where(np.asarray(x, dtype=object) == 0, 1, p).astype(np.int64)
-            return order if order.ndim else np.int64(order)
-        xo = np.asarray(x, dtype=object)
+            ops = _raw_ops(
+                cls._meta,
+                cls._mode if cls._mode != "python-calculate" else cls._meta.default_ufunc_mode,
+            )
+            order = jnp.where(ops.is_zero(self._data), 1, p).astype(jnp.int64)
+            if traced:
+                return order
+            out = np.asarray(order)
+            return out if out.ndim else np.int64(out)
+        if traced:
+            raise NotImplementedError(
+                f"additive_order under jit requires characteristic < 2^63, not {p}."
+            )
+        xo = np.asarray(np.asarray(self), dtype=object)
         out = np.frompyfunc(lambda v: 1 if v == 0 else p, 1, 1)(xo)
         out = np.asarray(out, dtype=object)
         return out if out.ndim else int(out)
 
     def multiplicative_order(self):
         """Order of each unit in the multiplicative group
-        (reference: src/galois/_fields/_array.py:1292-1353)."""
+        (reference: src/galois/_fields/_array.py:1292-1353).
+
+        int-storage fields compute on device with the static factorization
+        of q-1 (jit-safe; zero inputs are undefined under jit, checked
+        eagerly otherwise): for each prime factor, repeatedly divide the
+        candidate order while x^(ord/p_i) == 1."""
+        cls = type(self)
+        meta = self._meta
+        traced = isinstance(self._data, jax.core.Tracer)
+        if meta.storage == STORAGE_INT:
+            if not traced and (np.asarray(self._data) == 0).any():
+                raise ArithmeticError("0 has no multiplicative order.")
+            from ..nt.factorization import factors as _nt_factors
+
+            n = meta.order - 1
+            primes, exps = _nt_factors(n)
+            ops = _raw_ops(
+                meta, cls._mode if cls._mode != "python-calculate" else meta.default_ufunc_mode
+            )
+            ord_arr = jnp.full(self._data.shape, n, dtype=jnp.int64)
+            for pi, ei in zip(primes, exps):
+                for _ in range(ei):
+                    cand = ord_arr // pi
+                    divides = ord_arr % pi == 0
+                    pw = ops.power(self._data, jnp.where(divides, cand, 1))
+                    mask = divides & (pw == 1)
+                    ord_arr = jnp.where(mask, cand, ord_arr)
+            if traced:
+                return ord_arr
+            out = np.asarray(ord_arr)
+            return out if out.ndim else np.int64(out)
+        if traced:
+            raise NotImplementedError(
+                "multiplicative_order under jit requires int storage "
+                f"(order <= 2^32), not {meta.storage}."
+            )
         from ._hostfield import get_host_field
 
         x = _storage_to_ints(self._meta, np.asarray(self._data))
@@ -795,19 +843,39 @@ class FieldArray(Array):
 
     def vector(self, dtype=None):
         """Length-m GF(p) vectors, degrees descending
-        (reference: src/galois/_fields/_array.py:443-491)."""
+        (reference: src/galois/_fields/_array.py:443-491). Device-resident
+        and jit-safe: the basis-digit split runs per storage kind."""
         cls = type(self)
         sub = cls.prime_subfield
         m = self._meta.degree
+        p = self._meta.characteristic
+        d = self._data
         if self._meta.storage == STORAGE_DIGITS:
-            digits_desc = jnp.flip(self._data, axis=-1)
-            return sub._view(digits_desc.astype(sub._meta.internal_dtype), _validate_dtype(sub, dtype))
-        ints = _storage_to_ints(self._meta, np.asarray(self._data))
-        flat = np.asarray(ints, dtype=object).reshape(-1)
-        out = np.empty((flat.size, m), dtype=np.int64)
-        for i, v in enumerate(flat):
-            out[i] = integer_to_poly(int(v), self._meta.characteristic, m - 1)
-        return sub(out.reshape(np.asarray(ints).shape + (m,)), dtype=dtype)
+            digits_desc = jnp.flip(d, axis=-1)
+        elif self._meta.storage == STORAGE_INT:
+            if p == 2:
+                digs = [(d >> i) & 1 for i in range(m)]
+            else:
+                digs = []
+                x = d.astype(jnp.uint32)
+                for _ in range(m):
+                    digs.append(x % p)
+                    x = x // p
+            digits_desc = jnp.stack(digs[::-1], axis=-1)
+        elif p == 2:  # limbs storage, binary extension: bits across limbs
+            digs = [(d[..., i // 16] >> (i % 16)) & 1 for i in range(m)]
+            digits_desc = jnp.stack(digs[::-1], axis=-1)
+        else:  # limb-storage prime field: m == 1, the vector is the element
+            assert m == 1
+            if isinstance(d, jax.core.Tracer):
+                raise NotImplementedError(
+                    "vector() of a limb-storage prime field is host-only under jit."
+                )
+            ints = _storage_to_ints(self._meta, np.asarray(d))
+            return sub(np.asarray(ints, dtype=object)[..., None], dtype=dtype)
+        return sub._view(
+            digits_desc.astype(sub._meta.internal_dtype), _validate_dtype(sub, dtype)
+        )
 
     # Linear algebra and Galois-theory methods are attached by
     # ops/_linalg.py and fields/_theory.py (kept in separate modules).

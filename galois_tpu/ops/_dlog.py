@@ -87,19 +87,25 @@ def host_log(meta: FieldMeta, x: int, base: int | None = None) -> int:
 
 
 def log(x, base=None):
-    """Elementwise discrete log of a FieldArray. Returns an int64 ndarray."""
+    """Elementwise discrete log of a FieldArray. Returns an int64 ndarray
+    (or a device int64 array under jit; log(0) is then undefined rather
+    than raising, since the zero test needs concrete values)."""
+    import jax
+
     cls = type(x)
     meta = cls._meta
-    xi = np.asarray(x, dtype=object)
-    if (np.asarray(xi) == 0).any():
-        raise ArithmeticError("The discrete logarithm of 0 does not exist.")
+    traced = isinstance(x._data, jax.core.Tracer)
+    if not traced:
+        xi = np.asarray(x, dtype=object)
+        if (np.asarray(xi) == 0).any():
+            raise ArithmeticError("The discrete logarithm of 0 does not exist.")
 
     base_int = None if base is None else int(cls(base))
 
     if cls._mode == "jit-lookup":
         from ..fields._array import _kernel
 
-        l = np.asarray(_kernel(meta, "jit-lookup", "log_alpha")(x._data))
+        l_dev = _kernel(meta, "jit-lookup", "log_alpha")(x._data)
         n = meta.order - 1
         if base_int is not None and base_int != meta.primitive_element_int:
             lb = host_log(meta, base_int)
@@ -109,8 +115,10 @@ def log(x, base=None):
                 raise ArithmeticError(
                     f"Base {base_int} does not generate the multiplicative group."
                 )
-            l = (l.astype(object) * inv_lb % n).astype(np.int64)
-        out = l.astype(np.int64)
+            l_dev = (l_dev.astype(jnp.int64) * inv_lb) % n
+        if traced:
+            return l_dev.astype(jnp.int64)
+        out = np.asarray(l_dev).astype(np.int64)
     elif _device_capable(meta):
         b = meta.primitive_element_int if base_int is None else base_int
         kern = _device_log_kernel(
@@ -118,7 +126,13 @@ def log(x, base=None):
             cls._mode if cls._mode != "python-calculate" else meta.default_ufunc_mode,
             b,
         )
+        if traced:
+            return kern(x._data).astype(jnp.int64)
         out = np.asarray(kern(x._data)).astype(np.int64)
+    elif traced:
+        raise NotImplementedError(
+            f"log of {meta.name} uses host Pohlig-Hellman and cannot run under jit."
+        )
     else:
         flat = xi.reshape(-1) if xi.ndim else xi.reshape(1)
         dtype = np.int64 if meta.order - 2 <= np.iinfo(np.int64).max else object

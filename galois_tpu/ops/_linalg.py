@@ -477,12 +477,19 @@ def _lu_split(cls, lu_data, perm, n):
     one = ops.one_like(lu_data)
     L = jnp.where(lower, lu_data, jnp.where(diag, one, zero))
     U = jnp.where(jnp.logical_not(lower), lu_data, zero)
-    # P[perm[k], k] = 1  (A = P @ L @ U)
-    perm_np = np.asarray(perm)
-    P_np = np.zeros((n, n), dtype=np.int64)
-    P_np[perm_np, np.arange(n)] = 1
-    P = cls(P_np.tolist())
-    return P, cls._view(L, None), cls._view(U, None)
+    # P[perm[k], k] = 1  (A = P @ L @ U); built on device so the whole
+    # decomposition is jit-safe (perm may be a tracer).
+    oh = jnp.arange(n)[:, None] == jnp.asarray(perm)[None, :]
+    dt = jnp.dtype(meta.internal_dtype)
+    if vec:
+        P_data = (
+            jnp.zeros((n, n, meta.storage_width), dtype=dt)
+            .at[..., 0]
+            .set(oh.astype(dt))
+        )
+    else:
+        P_data = oh.astype(dt)
+    return cls._view(P_data), cls._view(L, None), cls._view(U, None)
 
 
 def det(A):

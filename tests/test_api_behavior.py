@@ -324,3 +324,25 @@ def test_setitem_assignment():
     y = Fg([1, 2, 3])
     y[1] = p - 1
     assert int(y[1]) == p - 1
+
+
+def test_methods_jit_safe():
+    """Elementwise Galois-theory methods and PLU run under jax.jit
+    (field_trace failed with TracerArrayConversionError before round 2)."""
+    import jax
+
+    import galois_tpu as g
+
+    GF = g.GF(2**8)
+    x = GF.Random(16, seed=1)
+    nz = x + GF(1)
+    jax.jit(lambda a: a.field_trace())(x)
+    jax.jit(lambda a: a.field_norm())(x)
+    jax.jit(lambda a: a.vector())(x)
+    jax.jit(lambda a: a.additive_order())(x)
+    mo = jax.jit(lambda a: a.multiplicative_order())(nz)
+    lg = jax.jit(lambda a: a.log())(nz)
+    jax.jit(lambda a: a.reshape(4, 4).plu_decompose())(x)
+    # jit results match eager host results
+    assert np.array_equal(np.asarray(mo), np.asarray(nz.multiplicative_order()))
+    assert np.array_equal(np.asarray(lg), np.asarray(nz.log()))
