@@ -104,9 +104,12 @@ class FieldMeta:
         # (reference: src/galois/_domains/_meta.py:39-48) because Numba CPU
         # table reads beat its scalar arithmetic. On TPU the economics
         # invert: XLA table gathers run ~1000x slower than the vectorized
-        # calculate kernels (measured: GF(2^8) multiply 0.03 vs 31 Gops/s on
-        # v5e), and even on CPU the XLA calculate kernels win. Default to
-        # jit-calculate everywhere; lookup stays available via compile().
+        # calculate kernels, and even on CPU the XLA calculate kernels win.
+        # Default to jit-calculate everywhere; lookup stays available via
+        # compile(), and on TPU small odd extension fields route their
+        # standalone elementwise multiplies through the Pallas VMEM-gather
+        # lookup kernels via multiply_bulk (the digit-convolution kernels
+        # lose ~6x there) while composites keep the fusable calculate path.
         self.default_ufunc_mode = "jit-calculate"
         # GF(2) has no lookup mode (bitwise ops are already optimal —
         # reference: src/galois/_fields/_gf2.py:155-157).

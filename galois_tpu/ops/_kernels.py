@@ -658,6 +658,35 @@ class OddExtOps(FieldOps):
     def multiply(self, a, b):
         return self._undigits(self._mul_digits(self._digits(a), self._digits(b)))
 
+    def _lookup_tables(self):
+        if not hasattr(self, "_exp_log_padded"):
+            from ..fields._tables import build_exp_log
+            from ._pallas._elementwise import _pad128
+
+            exp, log = build_exp_log(self.meta)
+            # NumPy: this ops object is cached across traces
+            self._exp_log_padded = (_pad128(exp), _pad128(log))
+        return self._exp_log_padded
+
+    def multiply_bulk(self, a, b):
+        # Standalone elementwise multiplies of small odd extension fields
+        # ride the Pallas VMEM-gather lookup kernels on TPU — the digit
+        # convolution pays repeated integer div/mod per element and loses
+        # ~6x (measured GF(3^5): 0.28 vs 1.7 Gops/s on v5e). Composites
+        # keep the fusable digit kernels via `multiply`.
+        if self.int_storage and self.meta.order <= 4096 and max(a.size, b.size) >= (1 << 13):
+            from ._pallas._elementwise import _HAVE_PALLAS, lookup_multiply_pallas
+
+            if _HAVE_PALLAS and jax.default_backend() == "tpu":
+                exp_np, log_np = self._lookup_tables()
+                shape = jnp.broadcast_shapes(a.shape, b.shape)
+                A = jnp.broadcast_to(a, shape)
+                B = jnp.broadcast_to(b, shape)
+                return lookup_multiply_pallas(
+                    A, B, jnp.asarray(exp_np), jnp.asarray(log_np), self.meta.order
+                ).astype(self.dt)
+        return self.multiply(a, b)
+
     def power_static(self, a, e: int):
         # Large static exponents use the compact ladder (small XLA graph);
         # small ones stay unrolled (fewer runtime multiplies).
