@@ -134,19 +134,20 @@ def main():
         t1 = time_single(ops.multiply_bulk, a, b)
         gops1 = N / t1 / 1e9 if t1 else None
         chain_ok = mode != "jit-lookup" or platform != "tpu"
+        headline_candidate = gops1
         if chain_ok:
             tc = time_chained(ops.multiply, a, b)
             gops_chain = N / tc / 1e9
             results[f"gf256_mul_{mode}_chain_gops"] = gops_chain
-            # single-op time below the sync floor is unresolvable — fall
-            # back to the chain-amortized number; otherwise never report
-            # beyond the chain ceiling.
-            gops1 = gops_chain if gops1 is None else min(gops1, gops_chain)
-        if gops1 is not None:
-            results[f"gf256_mul_{mode}_gops"] = gops1
-            best = max(best or 0, gops1)
-        else:
-            results[f"gf256_mul_{mode}_gops"] = "sub-floor"
+            # Single-op times at ~1 ms ride on a ~31 ms tunnel round-trip
+            # whose jitter is itself ~1 ms, so they swing 3x between runs;
+            # the 64-deep chain amortizes the round-trip 64x and is stable.
+            # The chain is the headline; the single-op number is reported
+            # as-is for reference (or "sub-floor" when unresolvable).
+            headline_candidate = gops_chain
+        results[f"gf256_mul_{mode}_gops"] = gops1 if gops1 is not None else "sub-floor"
+        if headline_candidate is not None:
+            best = max(best or 0, headline_candidate)
     headline = best
     # implied HBM traffic at 3 bytes/elem (2 in + 1 out)
     results["gf256_mul_implied_GBps"] = best * 3

@@ -273,6 +273,39 @@ def _matmul_split(N: int):
     return None if best is None else best[1]
 
 
+# A DFT factor above this size is itself expanded as a recursive 6-step
+# plan instead of a direct (K, K) matmul. Measured on v5e: recursing the
+# 4096-point factors into 64x64 sub-matmuls is 3.7x SLOWER than the direct
+# matmul despite a ~30x plane-MAC reduction (batched tiny matmuls
+# underutilize the MXU), so factors up to 4096 stay direct and recursion
+# only serves sizes a two-factor <= 4096 split cannot reach (N > 2^24).
+_RECURSE_ABOVE = 4096
+
+
+def _balanced_split(K: int):
+    """Largest divisor of K that is <= sqrt(K); None if K is prime."""
+    best = None
+    d = 2
+    while d * d <= K:
+        if K % d == 0:
+            best = d
+        d += 1
+    return best
+
+
+def _largest_divisor_le(K: int, cap: int):
+    """Largest divisor of K that is <= cap; None if only 1 qualifies."""
+    best = None
+    d = 1
+    while d * d <= K:
+        if K % d == 0:
+            for c in (d, K // d):
+                if 1 < c <= cap and (best is None or c > best):
+                    best = c
+        d += 1
+    return best
+
+
 class MatmulFFTPlan(FFTPlan):
     """Single-chip 4-step NTT on the MXU for prime fields.
 
@@ -298,31 +331,44 @@ class MatmulFFTPlan(FFTPlan):
         self.pw = self._build_power_table(hf, omega_int, N)
         self.n1 = n1
         self.n2 = N // n1
-        k1 = np.arange(n1).reshape(-1, 1)
-        j1 = np.arange(n1).reshape(1, -1)
-        self.W1 = self._gather((self.n2 * k1 * j1) % N)  # (N1, N1)
-        n2i = np.arange(self.n2).reshape(-1, 1)
-        k2 = np.arange(self.n2).reshape(1, -1)
-        self.W2 = self._gather((self.n1 * n2i * k2) % N)  # (N2, N2)
+        # Each side is either a direct DFT matmul (factor <= _RECURSE_ABOVE)
+        # or its own recursive 6-step sub-plan over omega^(N/factor).
+        self.sub1 = self.sub2 = None
+        self.W1 = self.W2 = None
+        s1 = _balanced_split(n1) if n1 > _RECURSE_ABOVE else None
+        if s1 is not None:
+            self.sub1 = MatmulFFTPlan(meta, n1, hf.power(omega_int, self.n2), mode, s1)
+        else:
+            k1 = np.arange(n1).reshape(-1, 1)
+            j1 = np.arange(n1).reshape(1, -1)
+            self.W1 = self._gather((self.n2 * k1 * j1) % N)  # (N1, N1)
+        s2 = _balanced_split(self.n2) if self.n2 > _RECURSE_ABOVE else None
+        if s2 is not None:
+            self.sub2 = MatmulFFTPlan(meta, self.n2, hf.power(omega_int, n1), mode, s2)
+        else:
+            n2i = np.arange(self.n2).reshape(-1, 1)
+            k2 = np.arange(self.n2).reshape(1, -1)
+            self.W2 = self._gather((self.n1 * n2i * k2) % N)  # (N2, N2)
         t_k1 = np.arange(n1).reshape(-1, 1)
         t_n2 = np.arange(self.n2).reshape(1, -1)
         self.T = self._gather((t_k1 * t_n2) % N)  # (N1, N2)
 
     def device_tables(self):
         if getattr(self, "_dev_tables", None) is None:
-            self._dev_tables = (
-                jax.device_put(self.W1),
-                jax.device_put(self.T),
-                jax.device_put(self.W2),
-            )
+            t1 = self.sub1.device_tables() if self.sub1 is not None else jax.device_put(self.W1)
+            t2 = self.sub2.device_tables() if self.sub2 is not None else jax.device_put(self.W2)
+            self._dev_tables = (t1, jax.device_put(self.T), t2)
         return self._dev_tables
+
+    def _host_tables(self):
+        t1 = self.sub1._host_tables() if self.sub1 is not None else jnp.asarray(self.W1)
+        t2 = self.sub2._host_tables() if self.sub2 is not None else jnp.asarray(self.W2)
+        return (t1, jnp.asarray(self.T), t2)
 
     def transform(self, x: jnp.ndarray, tables=None) -> jnp.ndarray:
         from ._linalg import _prime_matmul
 
-        W1, T, W2 = tables if tables is not None else (
-            jnp.asarray(self.W1), jnp.asarray(self.T), jnp.asarray(self.W2)
-        )
+        t1, T, t2 = tables if tables is not None else self._host_tables()
         p = self.meta.characteristic
         if self.meta.storage != "int":
             # Goldilocks limb storage: same 4-step, MXU work via the
@@ -332,16 +378,30 @@ class MatmulFFTPlan(FFTPlan):
             w = self.meta.storage_width
             batch = x.shape[:-2]
             M = x.reshape(batch + (self.n1, self.n2, w))
-            A = goldilocks_matmul(self.meta, W1, M)
+            if self.sub1 is not None:
+                Mt = jnp.swapaxes(M, -3, -2)  # (..., n2, n1, w)
+                A = jnp.swapaxes(self.sub1.transform(Mt, t1), -3, -2)
+            else:
+                A = goldilocks_matmul(self.meta, t1, M)
             B = self.ops.multiply(A, T)
-            C = goldilocks_matmul(self.meta, B, W2)
+            if self.sub2 is not None:
+                C = self.sub2.transform(B, t2)
+            else:
+                C = goldilocks_matmul(self.meta, B, t2)
             X = jnp.swapaxes(C, -2, -3)  # (..., k2, k1, w)
             return X.reshape(batch + (self.N, w))
         batch = x.shape[:-1]
         M = x.reshape(batch + (self.n1, self.n2))
-        A = _prime_matmul(W1, M, p, self.n1, self.meta)
+        if self.sub1 is not None:
+            Mt = jnp.swapaxes(M, -1, -2)  # (..., n2, n1)
+            A = jnp.swapaxes(self.sub1.transform(Mt, t1), -1, -2)
+        else:
+            A = _prime_matmul(t1, M, p, self.n1, self.meta)
         B = self.ops.multiply(A, T)
-        C = _prime_matmul(B, W2, p, self.n2, self.meta)
+        if self.sub2 is not None:
+            C = self.sub2.transform(B, t2)
+        else:
+            C = _prime_matmul(B, t2, p, self.n2, self.meta)
         X = jnp.swapaxes(C, -1, -2)  # (..., k2, k1) -> flat index k1 + N1*k2
         return X.reshape(batch + (self.N,))
 
@@ -356,6 +416,16 @@ def _plan(meta: FieldMeta, N: int, omega_int: int, mode: str) -> FFTPlan:
         and (meta.storage == "int" or _gold_supports(meta))
     ):
         n1 = _matmul_split(N)
+        if n1 is None and N > _MAX_BASE:
+            # N too large for a two-factor <= 4096 split: the recursive
+            # 6-step handles any 4096-smooth N (every leaf DFT stays a
+            # direct <= 4096 matmul). Keep the direct side as large as
+            # possible (big matmuls are where the MXU earns its keep).
+            from ..nt.factorization import factors as _nt_factors
+
+            primes, _ = _nt_factors(N)
+            if max(primes) <= 4096:
+                n1 = _largest_divisor_le(N, 4096)
         if n1 is not None:
             return MatmulFFTPlan(meta, N, omega_int, mode, n1)
     return FFTPlan(meta, N, omega_int, mode)
