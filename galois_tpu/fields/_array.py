@@ -814,24 +814,36 @@ class FieldArray(Array):
         return np.int64(out) if dtype is np.int64 else int(out)
 
     def is_square(self):
-        """Euler's criterion (reference: src/galois/_fields/_array.py:1354-1411)."""
+        """Euler's criterion (reference: src/galois/_fields/_array.py:1354-1411).
+        Fully device-resident; jit-safe (returns a device bool array when
+        traced)."""
         cls = type(self)
         q = self._meta.order
+        traced = isinstance(self._data, jax.core.Tracer)
         if self._meta.characteristic == 2:
+            if traced:
+                return jnp.ones(self.shape, dtype=bool)
             out = np.ones(self.shape, dtype=bool)
             return out if out.ndim else np.bool_(True)
         ops = _raw_ops(cls._meta, cls._mode if cls._mode != "python-calculate" else cls._meta.default_ufunc_mode)
         euler = jax.jit(lambda a: ops.power_static(a, (q - 1) // 2))(self._data)
-        one = np.asarray(_storage_to_ints(self._meta, np.asarray(euler)))
-        x = _storage_to_ints(self._meta, np.asarray(self._data))
-        out = np.logical_or(np.asarray(x) == 0, one == 1)
+        out_dev = jnp.logical_or(
+            jnp.asarray(ops.is_zero(self._data)),
+            jnp.asarray(ops._eq(euler, ops.one_like(euler))),
+        )
+        if traced:
+            return out_dev
+        out = np.asarray(out_dev)
         return out if out.ndim else np.bool_(out)
 
     def sqrt(self) -> "FieldArray":
         """Square roots; raises if any element is a non-square
-        (reference fields' sqrt kernels, src/galois/_domains/_calculate.py:758-832)."""
-        if not np.all(np.asarray(self.is_square())):
-            raise ArithmeticError("Input array has elements that are non-squares.")
+        (reference fields' sqrt kernels, src/galois/_domains/_calculate.py:758-832).
+        Under jit the non-square check needs concrete values, so results for
+        non-squares are unspecified there (validate with is_square first)."""
+        if not isinstance(self._data, jax.core.Tracer):
+            if not np.all(np.asarray(self.is_square())):
+                raise ArithmeticError("Input array has elements that are non-squares.")
         out = type(self)._dispatch("sqrt")(self._data)
         return type(self)._view(out, self._dtype)
 

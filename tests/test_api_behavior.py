@@ -346,3 +346,22 @@ def test_methods_jit_safe():
     # jit results match eager host results
     assert np.array_equal(np.asarray(mo), np.asarray(nz.multiplicative_order()))
     assert np.array_equal(np.asarray(lg), np.asarray(nz.log()))
+
+
+def test_is_square_sqrt_jit_safe():
+    """is_square / sqrt run under jax.jit for every storage kind (odd
+    characteristic converted through host before round 2)."""
+    import jax
+
+    import galois_tpu as g
+
+    for q in (31, 3**5, 2**64 - 2**32 + 1):
+        F = g.GF(q)
+        x = F.Random(8, seed=1)
+        m = jax.jit(lambda a: a.is_square())(x * x)
+        assert bool(np.asarray(m).all())
+        r = jax.jit(lambda a: a.sqrt())(x * x)
+        assert np.array_equal(
+            np.asarray(F(np.asarray(r, dtype=object)) ** 2, dtype=object),
+            np.asarray(x * x, dtype=object),
+        )
