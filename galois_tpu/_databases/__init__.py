@@ -6,10 +6,11 @@ scripts/extract_reference_dbs.py from the public Luebeck/Wolfram tables) and
 loaded once into an in-memory dict — no connection/locking machinery needed.
 
 The reference's third database (Cunningham-book prime factorizations,
-prime_factors.db) is absent from the reference checkout; `PrimeFactorsDatabase`
-keeps the interface and always misses, so `nt.factors` falls through to its
-own algorithms (mirroring reference src/galois/_prime.py:821-827 behavior
-without the DB).
+prime_factors.db) is absent from its checkout, so the table here is
+*computed* by scripts/create_prime_factors_database.py (cyclotomic
+decomposition of b^n +- 1, per-part factorization) and stored as gzipped
+text; `fetch` mirrors the reference's 3-tuple contract including residual
+composites (reference src/galois/_databases/_interface.py:38-75).
 """
 
 from __future__ import annotations
@@ -66,13 +67,39 @@ class _IrreduciblePolyDatabase(_SparsePolyDatabase):
 
 
 class _PrimeFactorsDatabase:
-    """Interface-compatible stub; the underlying data is not shipped."""
+    """Cunningham-style factorizations of b^n +- 1.
 
-    def fetch(self, n: int):
-        raise LookupError(f"PrimeFactorsDatabase has no entry for {n}.")
+    fetch(n) -> (factors, multiplicities, residual_composite), matching the
+    reference's contract (src/galois/_databases/_interface.py:38-75): a
+    residual composite of 1 means the factorization is complete. Missing
+    data file degrades to an always-miss stub.
+    """
+
+    filename = "prime_factors.txt.gz"
+
+    def __init__(self):
+        self._table: Dict[int, Tuple[List[int], List[int], int]] = {}
+        path = _DATA_DIR / self.filename
+        if not path.exists():
+            return
+        import gzip
+
+        with gzip.open(path, "rt") as fh:
+            for line in fh:
+                value_s, p_str, e_str, rem_s = line.split()
+                ps = [] if p_str == "-" else [int(x) for x in p_str.split(",")]
+                es = [] if e_str == "-" else [int(x) for x in e_str.split(",")]
+                self._table[int(value_s)] = (ps, es, int(rem_s))
+
+    def fetch(self, n: int) -> Tuple[List[int], List[int], int]:
+        entry = self._table.get(int(n))
+        if entry is None:
+            raise LookupError(f"PrimeFactorsDatabase has no entry for {n}.")
+        ps, es, rem = entry
+        return list(ps), list(es), rem
 
     def __contains__(self, n: int) -> bool:
-        return False
+        return int(n) in self._table
 
 
 @functools.lru_cache(maxsize=None)

@@ -181,6 +181,20 @@ def _factor_recursive(n: int, out: list[int], rng: random.Random) -> None:
 
 @functools.lru_cache(maxsize=4096)
 def _factors_cached(n: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    # Step 0: the Cunningham-style database of b^k +- 1 factorizations
+    # (reference consults its DB first too: src/galois/_prime.py:820-827).
+    # Entries may carry a residual composite; the pipeline continues on it.
+    from galois_tpu._databases import PrimeFactorsDatabase
+
+    db = PrimeFactorsDatabase()
+    db_p: list[int] = []
+    db_e: list[int] = []
+    if n in db:
+        db_p, db_e, n = db.fetch(n)
+        if n == 1:
+            order = sorted(range(len(db_p)), key=lambda i: db_p[i])
+            return tuple(db_p[i] for i in order), tuple(db_e[i] for i in order)
+
     p_list, e_list, cofactor = trial_division(n, B=min(100_000, isqrt(n) + 1))
     if cofactor > 1:
         rest: list[int] = []
@@ -192,6 +206,14 @@ def _factors_cached(n: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
             else:
                 p_list.append(p)
                 e_list.append(1)
+    if db_p:
+        merged: dict[int, int] = {}
+        for p, e in zip(db_p, db_e):
+            merged[p] = merged.get(p, 0) + e
+        for p, e in zip(p_list, e_list):
+            merged[p] = merged.get(p, 0) + e
+        ps = sorted(merged)
+        return tuple(ps), tuple(merged[p] for p in ps)
     return tuple(p_list), tuple(e_list)
 
 
