@@ -573,12 +573,49 @@ class Poly:
         F = _hf(self._field)
         if modulus is not None:
             modulus = self._check_same_field(modulus)
+            # Large-modulus square-and-multiply: each squaring is a
+            # (deg_m)^2-work product + reduction, so route the whole ladder
+            # through Poly.__mul__ / __mod__, which dispatch to the device
+            # convolution / scan-divmod kernels above _DEVICE_POLY_WORK
+            # (reference keeps this JIT-resident too: _polys/_dense.py:323-401).
+            deg_m = modulus.degree
+            if (
+                _use_device_poly_ops(self._field)
+                and deg_m * deg_m >= _DEVICE_POLY_WORK
+                and e > 1
+            ):
+                result = Poly.One(self._field)
+                base = self % modulus
+                while e:
+                    if e & 1:
+                        result = (result * base) % modulus
+                    e >>= 1
+                    if e:
+                        base = (base * base) % modulus
+                return result
             out = hp.pow_mod(F, self._asc(), e, modulus._asc())
             return Poly._from_asc(out, self._field)
         if self._degrees == (0,) or len(self._degrees) == 1:
             # monomial fast path: (c x^d)^e = c^e x^(d e)
             d, c = self._degrees[0], self._coeffs[0]
             return Poly._from_sparse([d * e], [F.power(c, e)], self._field)
+        # Unreduced ladder: final degree is deg*e, so the last squaring does
+        # ~(deg*e/2)^2 host coefficient ops — route big ladders through the
+        # device product the same way.
+        if (
+            _use_device_poly_ops(self._field)
+            and e > 1
+            and (self.degree * e) ** 2 >= 4 * _DEVICE_POLY_WORK
+        ):
+            result = Poly.One(self._field)
+            base = self
+            while e:
+                if e & 1:
+                    result = result * base
+                e >>= 1
+                if e:
+                    base = base * base
+            return result
         result = [1]
         base = self._asc()
         while e:
