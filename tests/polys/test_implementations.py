@@ -70,3 +70,26 @@ def _clmul_int(x, y):
         x <<= 1
         y >>= 1
     return acc
+
+
+@pytest.mark.parametrize("order", [31, 2**8])
+def test_device_pow_matches_host(order, monkeypatch):
+    """Large pow / 3-arg pow route through the device mul+divmod kernels;
+    force the routing with a tiny threshold and compare to the host ladder."""
+    import galois_tpu as g
+    from galois_tpu.polys import _poly as poly_mod
+
+    F = g.GF(order)
+    rng = np.random.default_rng(order + 1)
+    f = g.Poly(F([int(x) for x in rng.integers(0, order, 24)]))
+    m = g.Poly(F([1] + [int(x) for x in rng.integers(0, order, 20)]))
+
+    host_pow = f**6
+    host_pow_mod = pow(f, 29, m)
+
+    monkeypatch.setattr(poly_mod, "_DEVICE_POLY_WORK", 1)
+    dev_pow = f**6
+    dev_pow_mod = pow(f, 29, m)
+
+    assert dev_pow == host_pow
+    assert dev_pow_mod == host_pow_mod
