@@ -481,7 +481,15 @@ class BinaryExtOps(FieldOps):
         self.m = meta.degree
         self.f = meta.irreducible_poly_int
         self.dt = jnp.dtype(meta.internal_dtype)
-        self.wide = jnp.uint32 if 2 * self.m - 1 <= 32 else jnp.uint64
+        self.two_words = 2 * self.m - 1 > 32  # m in 17..32: (lo, hi) u32 pair
+        self.wide = jnp.uint32  # all arithmetic stays in u32 lanes
+        # Reduction constant R = f - x^m: x^m ≡ R (mod f). Folding the
+        # overflow bits down is a constant carry-less multiply by R —
+        # popcount(R) shift-xors per round instead of a per-bit select
+        # ladder, and never an integer multiply (emulated and slow on TPU).
+        R = self.f ^ (1 << self.m)
+        self._r_bits = [k for k in range(R.bit_length()) if (R >> k) & 1]
+        self._deg_r = max(self._r_bits) if self._r_bits else 0
 
     def add(self, a, b):
         return a ^ b
@@ -492,19 +500,71 @@ class BinaryExtOps(FieldOps):
         return a
 
     def _clmul(self, a, b):
-        """Carry-less product, 2m-1 bits, in the wide dtype."""
-        aw = a.astype(self.wide)
-        bw = b.astype(self.wide)
+        """Carry-less product, 2m-1 <= 31 bits, in one u32 word (m <= 16).
+        Partial products are gated by an arithmetic all-ones mask (0 - bit):
+        pure shift/and/xor, no integer multiply."""
+        aw = a.astype(jnp.uint32)
+        bw = b.astype(jnp.uint32)
         acc = jnp.zeros_like(aw)
+        one = jnp.uint32(1)
+        zero = jnp.uint32(0)
         for i in range(self.m):
-            acc = acc ^ ((aw << i) * ((bw >> i) & 1))
+            mask = zero - ((bw >> i) & one)
+            acc = acc ^ ((aw << i) & mask)
         return acc
 
     def _reduce(self, c):
-        m, f = self.m, self.f
-        for i in range(2 * m - 2, m - 1, -1):
-            c = c ^ (jnp.asarray(f << (i - m), dtype=self.wide) * ((c >> i) & 1))
+        """Reduce a <=31-bit carry-less product mod f via constant folds."""
+        m = self.m
+        lo_mask = jnp.uint32((1 << m) - 1)
+        width = 2 * m - 1
+        while width > m:
+            o = c >> m
+            c = c & lo_mask
+            for k in self._r_bits:
+                c = c ^ (o << k)
+            width = max(m, width - m + self._deg_r)
         return c.astype(self.dt)
+
+    def _clmul2(self, a, b):
+        """Carry-less product for m in 17..32 as a (lo, hi) u32 pair —
+        replaces the former u64 formulation, which TPU emulates in 32-bit
+        halves with 3 integer multiplies per masked term."""
+        a32 = a.astype(jnp.uint32)
+        b32 = b.astype(jnp.uint32)
+        lo = jnp.zeros_like(a32)
+        hi = jnp.zeros_like(a32)
+        one = jnp.uint32(1)
+        zero = jnp.uint32(0)
+        for i in range(self.m):
+            mask = zero - ((b32 >> i) & one)
+            lo = lo ^ ((a32 << i) & mask)
+            if i:
+                hi = hi ^ ((a32 >> (32 - i)) & mask)
+        return lo, hi
+
+    def _reduce2(self, lo, hi):
+        """Reduce a (lo, hi) two-word carry-less product mod f (17<=m<=32).
+
+        Every overflow poly o = c >> m fits one u32 word (at most
+        width - m <= 30 bits), so each fold is: extract o, keep the low m
+        bits, xor in o*R word-wise."""
+        m = self.m
+        lo_mask = jnp.uint32((1 << m) - 1) if m < 32 else jnp.uint32(0xFFFFFFFF)
+        width = 2 * m - 1
+        while width > m:
+            if m == 32:
+                o = hi
+            else:
+                o = (lo >> m) | (hi << (32 - m))
+            lo = lo & lo_mask
+            hi = jnp.zeros_like(hi)
+            for k in self._r_bits:
+                lo = lo ^ (o << k)
+                if k:
+                    hi = hi ^ (o >> (32 - k))
+            width = max(m, width - m + self._deg_r)
+        return lo.astype(self.dt)
 
     # -- SWAR multiply: 4 elements per 32-bit VPU lane (m <= 8) ----------
     #
@@ -518,14 +578,27 @@ class BinaryExtOps(FieldOps):
     # Reference semantics: src/galois/_domains/_calculate.py:288-324.
 
     def multiply(self, a, b):
+        if self.two_words:
+            return self._reduce2(*self._clmul2(a, b))
         return self._reduce(self._clmul(a, b))
 
     def square(self, a):
         # Squaring is bit-spreading (a_i -> bit 2i) then reduction — linear in m.
-        aw = a.astype(self.wide)
+        aw = a.astype(jnp.uint32)
+        one = jnp.uint32(1)
+        if self.two_words:
+            lo = jnp.zeros_like(aw)
+            hi = jnp.zeros_like(aw)
+            for i in range(self.m):
+                bit = (aw >> i) & one
+                if 2 * i < 32:
+                    lo = lo ^ (bit << (2 * i))
+                else:
+                    hi = hi ^ (bit << (2 * i - 32))
+            return self._reduce2(lo, hi)
         acc = jnp.zeros_like(aw)
         for i in range(self.m):
-            acc = acc ^ (((aw >> i) & 1) << (2 * i))
+            acc = acc ^ (((aw >> i) & one) << (2 * i))
         return self._reduce(acc)
 
     def power_static(self, a, e: int):
