@@ -241,6 +241,22 @@ def main():
         (N // 2) / tmc / 1e9 if g1 is None else min(g1, (N // 2) / tmc / 1e9)
     )
 
+    # --- GF(2^32) multiply (two-u32-word mask-ladder clmul; the reference's
+    # weakest published number: 386 ms / 10M = 0.026 Gops/s,
+    # docs/performance/binary-extension-fields.rst:88-104) ---
+    try:
+        GF32 = gt.GF(2**32)
+        o32 = get_ops(GF32._meta, "jit-calculate")
+        N32 = N // 4
+        a32 = _dev_rand_u32(N32, 21) | jnp.uint32(1)
+        b32 = _dev_rand_u32(N32, 22) | jnp.uint32(1)
+        t = time_single(o32.multiply, a32, b32)
+        results["gf2_32_mul_gops"] = N32 / t / 1e9 if t else "sub-floor"
+        tc = time_chained(o32.multiply, a32, b32)
+        results["gf2_32_mul_chain_gops"] = N32 / tc / 1e9
+    except Exception as e:  # pragma: no cover
+        results["gf2_32_error"] = str(e)[:200]
+
     # --- GF(3^5) small odd extension field (jit-lookup VMEM gathers beat
     # the digit-convolution calculate path ~6x on TPU) ---
     try:
@@ -471,4 +487,12 @@ def _bench_pallas(results, meta, a, b, N, rng):
 
 
 if __name__ == "__main__":
+    import os
+
+    if os.environ.get("GALOIS_TPU_BENCH_CPU"):
+        # Dev smoke-test knob. Observed: shell-level JAX_PLATFORMS=cpu did
+        # not keep this script off the axon backend (it hung dialing a
+        # wedged tunnel); the config update is the reliable switch, same as
+        # tests/conftest.py.
+        jax.config.update("jax_platforms", "cpu")
     main()
