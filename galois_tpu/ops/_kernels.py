@@ -1000,8 +1000,8 @@ class LimbBinaryOps(FieldOps):
             acc, sa = carry
             wi, sh = xs
             word = jnp.take(bwb, wi, axis=-1)
-            bit = (word >> sh) & 1
-            acc = acc ^ (sa * bit[..., None])
+            mask = jnp.uint32(0) - ((word >> sh) & 1)  # all-ones select, no mult
+            acc = acc ^ (sa & mask[..., None])
             hi = sa >> (LIMB_BITS - 1)
             sa2 = (sa << 1) & self.MASK
             sa2 = sa2.at[..., 1:].set(sa2[..., 1:] | hi[..., :-1])
@@ -1019,8 +1019,8 @@ class LimbBinaryOps(FieldOps):
         def red_step(acc, xs):
             const, wi, sh = xs
             word = jnp.take(acc, wi, axis=-1)
-            bit = (word >> sh) & 1
-            return acc ^ (const * bit[..., None]), None
+            mask = jnp.uint32(0) - ((word >> sh) & 1)
+            return acc ^ (const & mask[..., None]), None
 
         acc, _ = jax.lax.scan(red_step, acc, (jnp.asarray(consts), r_word, r_sh))
         return acc[..., : self.L].astype(self.dt)
