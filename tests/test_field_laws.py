@@ -16,6 +16,7 @@ FIELDS = [
     3**5,
     2**31 - 1,
     7**7,  # odd ext, int storage
+    2**24,  # binary ext two-u32-word clmul path (m in 17..32)
     2**64 - 2**32 + 1,  # Goldilocks, limb storage
     2**61 - 1,  # Mersenne-61, limb storage
     2**100,  # binary ext, limb storage
