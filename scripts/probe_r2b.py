@@ -147,6 +147,16 @@ def swar_pallas_blk(a, b, blk_rows):
     )(af.reshape(rows, 1024), bf.reshape(rows, 1024)).reshape(a.shape)
 
 
+def swar_xla(a, b):
+    """SWAR core in plain XLA: bitcast u8[4k] lanes to u32, no Pallas."""
+    from galois_tpu.ops._pallas._elementwise import _swar_mul_core
+
+    A = jax.lax.bitcast_convert_type(a.reshape(-1, 4), jnp.uint32)
+    B = jax.lax.bitcast_convert_type(b.reshape(-1, 4), jnp.uint32)
+    C = _swar_mul_core(A, B, M, F)
+    return jax.lax.bitcast_convert_type(C, jnp.uint8).reshape(a.shape)
+
+
 def time_batch(op, pairs):
     """K independent ops in ONE jit: amortizes the tunnel floor K-fold while
     keeping per-op HBM traffic identical to a real single op (K distinct
@@ -184,6 +194,12 @@ def main():
     say(f"gf256 current ladder chain: {N / t / 1e9:.1f} Gops/s ({t * 1e3:.2f} ms/op)")
     t = time_chain(ladder_mask_mul, a, b)
     say(f"gf256 mask ladder chain:    {N / t / 1e9:.1f} Gops/s ({t * 1e3:.2f} ms/op)")
+
+    # -- SWAR via plain-XLA bitcast (no Pallas): is the u8<->u32 relayout free?
+    got = jax.jit(swar_xla)(a[:4096], b[:4096])
+    say("swar_xla_ok:", bool(jnp.all(want == got[:4096])))
+    t = time_chain(swar_xla, a, b)
+    say(f"gf256 XLA-SWAR bitcast chain: {N / t / 1e9:.1f} Gops/s ({t * 1e3:.2f} ms/op)")
 
     # -- SWAR core on pre-packed u32 (what the core costs if packing were free)
     A = rand_u32(N // 4, 3)
@@ -234,6 +250,20 @@ def main():
     yf = (y & jnp.uint32(0xFF)).astype(jnp.float32)
     t = time_chain(lambda p, q: p * q % jnp.float32(65536.0), xf, yf)
     say(f"f32 mult+mod chain: {Np / t / 1e9:.1f} Gops/s")
+
+    # -- generic prime-field multiply: current u64 (a*b)%p vs the m31 kernel
+    # (decides whether a u32 Montgomery/Barrett rewrite of PrimeOps for
+    # 2^16 < p < 2^31 non-Mersenne is worth building)
+    PGEN = 2097169  # the reference's headline prime field
+    xg = x % jnp.uint32(PGEN)
+    yg = y % jnp.uint32(PGEN)
+    t = time_chain(lambda p_, q_: ((p_.astype(jnp.uint64) * q_.astype(jnp.uint64)) % PGEN).astype(jnp.uint32), xg, yg)
+    say(f"u64 (a*b)%p chain [p=2097169]: {Np / t / 1e9:.1f} Gops/s")
+    import galois_tpu as _gt
+    from galois_tpu.ops._kernels import get_ops as _go
+    _m31 = _go(_gt.GF(2**31 - 1)._meta, "jit-calculate")
+    t = time_chain(_m31.multiply, x >> 1, y >> 1)
+    say(f"m31 u32-fold mul chain (reference point): {Np / t / 1e9:.1f} Gops/s")
 
     # ------------------------------------------------------------------
     # Goldilocks multiply variants (tuple protocol, 2^23 elements)
