@@ -15,6 +15,7 @@ FIELDS = [
     2**8,
     3**5,
     2**31 - 1,
+    2097169,  # generic >2^16 prime: u32 Barrett one-shot multiply
     7**7,  # odd ext, int storage
     2**24,  # binary ext two-u32-word clmul path (m in 17..32)
     2**64 - 2**32 + 1,  # Goldilocks, limb storage
