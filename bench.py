@@ -241,6 +241,22 @@ def main():
         (N // 2) / tmc / 1e9 if g1 is None else min(g1, (N // 2) / tmc / 1e9)
     )
 
+    # --- GF(2097169) multiply (generic >2^16 prime, u32 Barrett one-shot;
+    # reference headline: 32.7 ms / 10M = 0.306 Gops/s jit-calculate,
+    # docs/performance/prime-fields.rst:73-85) ---
+    try:
+        GFgp = gt.GF(2097169)
+        ogp = get_ops(GFgp._meta, "jit-calculate")
+        Ngp = N // 2
+        agp = _dev_rand_u32(Ngp, 31) % jnp.uint32(2097169)
+        bgp = _dev_rand_u32(Ngp, 32) % jnp.uint32(2097169)
+        t = time_single(ogp.multiply, agp, bgp)
+        results["gf2097169_mul_gops"] = Ngp / t / 1e9 if t else "sub-floor"
+        tc = time_chained(ogp.multiply, agp, bgp)
+        results["gf2097169_mul_chain_gops"] = Ngp / tc / 1e9
+    except Exception as e:  # pragma: no cover
+        results["gf2097169_error"] = str(e)[:200]
+
     # --- GF(2^32) multiply (two-u32-word mask-ladder clmul; the reference's
     # weakest published number: 386 ms / 10M = 0.026 Gops/s,
     # docs/performance/binary-extension-fields.rst:88-104) ---
