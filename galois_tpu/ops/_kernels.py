@@ -65,6 +65,105 @@ def _pow_static(multiply, square, a, e: int, one):
     return result
 
 
+def _mulmod_u32(av, bv, p: int):
+    """(av*bv) mod p for 2^16 < p < 2^32, u32 arrays in, u32 out.
+
+    64-bit multiply and constant-modulus division are emulated on the
+    TPU VPU (the generic u64 path measured ~15x slower than the all-u32
+    Mersenne kernel). Pipeline:
+      1. 62..64-bit product from 16x16->32 halves (4 mults);
+      2. fold the two high 16-bit digits with static c48 = 2^48 mod p and
+         c32 = 2^32 mod p: v = d3*c48 + d2*c32 + plo < 2^17 * p + 2^32;
+      3. one f32 quotient estimate q ~= v/p (v and q < 2^18 are both exact
+         enough in f32 that q is within +-2 of the truth);
+      4. r = v - q*p as two u32 words, then a handful of conditional
+         +-p corrections bring r into [0, p).
+    """
+    LO = jnp.uint32(0xFFFF)
+
+    def mul2w_const(x, C):
+        # x (u32, < 2^18) times static C (< 2^32) -> (hi, lo) u32 words.
+        # x splits into 16-bit halves; the two middle products are
+        # accumulated separately (their sum can exceed u32 when xh > 0).
+        cl, ch = C & 0xFFFF, C >> 16
+        xl = x & LO
+        xh = x >> 16
+        t0 = xl * jnp.uint32(cl)
+        t1a = xl * jnp.uint32(ch)
+        t1b = xh * jnp.uint32(cl)
+        t2 = xh * jnp.uint32(ch)
+        mid = (t1a & LO) << 16
+        lo = t0 + mid
+        ca = jnp.where(lo < mid, jnp.uint32(1), jnp.uint32(0))
+        mid2 = (t1b & LO) << 16
+        lo2 = lo + mid2
+        cb = jnp.where(lo2 < mid2, jnp.uint32(1), jnp.uint32(0))
+        hi = t2 + (t1a >> 16) + (t1b >> 16) + ca + cb
+        return hi, lo2
+
+    def add2w(h1, l1, h2, l2):
+        lo = l1 + l2
+        carry = jnp.where(lo < l1, jnp.uint32(1), jnp.uint32(0))
+        return h1 + h2 + carry, lo
+
+    a0, a1 = av & LO, av >> 16
+    b0, b1 = bv & LO, bv >> 16
+    ll = a0 * b0
+    lh0 = a0 * b1
+    lh1 = a1 * b0
+    hh = a1 * b1
+    # plo/phi: full product = phi*2^32 + plo
+    t = (lh0 & LO) << 16
+    plo = ll + t
+    c0 = jnp.where(plo < t, jnp.uint32(1), jnp.uint32(0))
+    t = (lh1 & LO) << 16
+    plo2 = plo + t
+    c1 = jnp.where(plo2 < t, jnp.uint32(1), jnp.uint32(0))
+    phi = hh + (lh0 >> 16) + (lh1 >> 16) + c0 + c1
+    # fold digits d3 = phi>>16, d2 = phi&LO with static constants
+    c32 = (1 << 32) % p
+    c48 = (1 << 48) % p
+    h_a, l_a = mul2w_const(phi >> 16, c48)
+    h_b, l_b = mul2w_const(phi & LO, c32)
+    vh, vl = add2w(h_a, l_a, h_b, l_b)
+    vh, vl = add2w(vh, vl, jnp.zeros_like(vh), plo2)
+    # v = vh*2^32 + vl; f32 quotient estimate (round-to-nearest, then
+    # clamp the remainder with conditional +-p)
+    fv = vh.astype(jnp.float32) * jnp.float32(4294967296.0) + vl.astype(jnp.float32)
+    q = (fv * jnp.float32(1.0 / p)).astype(jnp.uint32)  # < 2^18
+    qh, ql = mul2w_const(q, p)
+    # r = v - q*p (two words, may be negative by < 2p or positive < 3p)
+    rl = vl - ql
+    borrow = jnp.where(vl < ql, jnp.uint32(1), jnp.uint32(0))
+    rh = vh - qh - borrow  # interpreted signed
+    rhs = rh.astype(jnp.int32)
+    # correction: while r < 0: r += p; while r >= p: r -= p.
+    # |error| <= 2 quotient units, so at most 2 in each direction; a
+    # third guard round costs two selects and keeps the proof slack.
+    for _ in range(3):
+        neg = rhs < 0
+        lo_add = rl + jnp.uint32(p)
+        carry = jnp.where(lo_add < rl, jnp.int32(1), jnp.int32(0))
+        rl = jnp.where(neg, lo_add, rl)
+        rhs = jnp.where(neg, rhs + carry, rhs)
+    for _ in range(3):
+        ge = (rhs > 0) | ((rhs == 0) & (rl >= jnp.uint32(p)))
+        lo_sub = rl - jnp.uint32(p)
+        borrow = jnp.where(rl < jnp.uint32(p), jnp.int32(1), jnp.int32(0))
+        rl = jnp.where(ge, lo_sub, rl)
+        rhs = jnp.where(ge, rhs - borrow, rhs)
+    return rl
+
+
+def _addmod_u32(x, y, p: int):
+    """(x + y) mod p for x, y in [0, p), p < 2^32, with u32 wrap guard."""
+    s = x + y
+    wrapped = s < x
+    ge = wrapped | (s >= jnp.uint32(p))
+    return jnp.where(ge, s - jnp.uint32(p), s)
+
+
+
 class FieldOps:
     """Base class: shared dynamic-exponent power and derived ops."""
 
@@ -349,7 +448,6 @@ class PrimeOps(FieldOps):
         p = meta.characteristic
         self.p = p
         self.dt = jnp.dtype(meta.internal_dtype)
-        self.wide = jnp.uint32 if p <= 2**16 else jnp.uint64
         # Mersenne primes get an all-u32 multiply (2^e === 1 folds): 64-bit
         # integer ops are emulated on TPU, so avoiding the u64 product is
         # ~10x on the hot path. e == 31 splits the product into 16-bit
@@ -358,22 +456,23 @@ class PrimeOps(FieldOps):
         self._mersenne_e = e if (p == (1 << e) - 1 and (e == 31 or p <= 2**16)) else None
 
     def _w(self, a):
-        return a.astype(self.wide)
+        return a.astype(jnp.uint32)
 
     def add(self, a, b):
-        p = self.p
-        s = self._w(a) + self._w(b)
-        return jnp.where(s >= p, s - p, s).astype(self.dt)
+        # wrap-guarded u32 modular add (a + b can exceed 2^32 for p > 2^31)
+        return _addmod_u32(self._w(a), self._w(b), self.p).astype(self.dt)
 
     def negative(self, a):
         p = self.p
         aw = self._w(a)
-        return jnp.where(aw == 0, aw, p - aw).astype(self.dt)
+        return jnp.where(aw == 0, aw, jnp.uint32(p) - aw).astype(self.dt)
 
     def subtract(self, a, b):
-        p = self.p
-        d = self._w(a) + (p - self._w(b))
-        return jnp.where(d >= p, d - p, d).astype(self.dt)
+        # a - b + p computed mod 2^32: the true value is in [0, p) < 2^32,
+        # so the wrapped low word IS the result.
+        aw, bw = self._w(a), self._w(b)
+        d = aw - bw
+        return jnp.where(aw < bw, d + jnp.uint32(self.p), d).astype(self.dt)
 
     def multiply(self, a, b):
         e = self._mersenne_e
@@ -386,96 +485,7 @@ class PrimeOps(FieldOps):
         return ((self._w(a) * self._w(b)) % self.p).astype(self.dt)
 
     def _mul_barrett_u32(self, a, b):
-        """(a*b) mod p for 2^16 < p < 2^32 in pure u32 + one f32 step.
-
-        64-bit multiply and constant-modulus division are emulated on the
-        TPU VPU (the generic u64 path measured ~15x slower than the all-u32
-        Mersenne kernel). Pipeline:
-          1. 62..64-bit product from 16x16->32 halves (4 mults);
-          2. fold the two high 16-bit digits with static c48 = 2^48 mod p and
-             c32 = 2^32 mod p: v = d3*c48 + d2*c32 + plo < 2^49;
-          3. one f32 quotient estimate q ~= v/p (v < 2^49 and q < 2^18 are
-             both exact enough in f32 that q is within +-2 of the truth);
-          4. r = v - q*p as two u32 words, then a handful of conditional
-             +-p corrections bring r into [0, p).
-        """
-        p = self.p
-        LO = jnp.uint32(0xFFFF)
-
-        def mul2w_const(x, C):
-            # x (u32, < 2^18) times static C (< 2^32) -> (hi, lo) u32 words.
-            # x splits into 16-bit halves; the two middle products are
-            # accumulated separately (their sum can exceed u32 when xh > 0).
-            cl, ch = C & 0xFFFF, C >> 16
-            xl = x & LO
-            xh = x >> 16
-            t0 = xl * jnp.uint32(cl)
-            t1a = xl * jnp.uint32(ch)
-            t1b = xh * jnp.uint32(cl)
-            t2 = xh * jnp.uint32(ch)
-            mid = (t1a & LO) << 16
-            lo = t0 + mid
-            ca = jnp.where(lo < mid, jnp.uint32(1), jnp.uint32(0))
-            mid2 = (t1b & LO) << 16
-            lo2 = lo + mid2
-            cb = jnp.where(lo2 < mid2, jnp.uint32(1), jnp.uint32(0))
-            hi = t2 + (t1a >> 16) + (t1b >> 16) + ca + cb
-            return hi, lo2
-
-        def add2w(h1, l1, h2, l2):
-            lo = l1 + l2
-            carry = jnp.where(lo < l1, jnp.uint32(1), jnp.uint32(0))
-            return h1 + h2 + carry, lo
-
-        av = a.astype(jnp.uint32)
-        bv = b.astype(jnp.uint32)
-        a0, a1 = av & LO, av >> 16
-        b0, b1 = bv & LO, bv >> 16
-        ll = a0 * b0
-        lh0 = a0 * b1
-        lh1 = a1 * b0
-        hh = a1 * b1
-        # plo/phi: full product = phi*2^32 + plo
-        t = (lh0 & LO) << 16
-        plo = ll + t
-        c0 = jnp.where(plo < t, jnp.uint32(1), jnp.uint32(0))
-        t = (lh1 & LO) << 16
-        plo2 = plo + t
-        c1 = jnp.where(plo2 < t, jnp.uint32(1), jnp.uint32(0))
-        phi = hh + (lh0 >> 16) + (lh1 >> 16) + c0 + c1
-        # fold digits d3 = phi>>16, d2 = phi&LO with static constants
-        c32 = (1 << 32) % p
-        c48 = (1 << 48) % p
-        h_a, l_a = mul2w_const(phi >> 16, c48)
-        h_b, l_b = mul2w_const(phi & LO, c32)
-        vh, vl = add2w(h_a, l_a, h_b, l_b)
-        vh, vl = add2w(vh, vl, jnp.zeros_like(vh), plo2)
-        # v = vh*2^32 + vl < 2^49; f32 quotient estimate (round-to-nearest,
-        # then clamp the remainder with conditional +-p)
-        fv = vh.astype(jnp.float32) * jnp.float32(4294967296.0) + vl.astype(jnp.float32)
-        q = (fv * jnp.float32(1.0 / p)).astype(jnp.uint32)  # < 2^18
-        qh, ql = mul2w_const(q, p)
-        # r = v - q*p (two words, may be negative by < 2p or positive < 3p)
-        rl = vl - ql
-        borrow = jnp.where(vl < ql, jnp.uint32(1), jnp.uint32(0))
-        rh = vh - qh - borrow  # interpreted signed
-        rhs = rh.astype(jnp.int32)
-        # correction: while r < 0: r += p; while r >= p: r -= p.
-        # |error| <= 2 quotient units, so at most 2 in each direction; a
-        # third guard round costs two selects and keeps the proof slack.
-        for _ in range(3):
-            neg = rhs < 0
-            lo_add = rl + jnp.uint32(p)
-            carry = jnp.where(lo_add < rl, jnp.int32(1), jnp.int32(0))
-            rl = jnp.where(neg, lo_add, rl)
-            rhs = jnp.where(neg, rhs + carry, rhs)
-        for _ in range(3):
-            ge = (rhs > 0) | ((rhs == 0) & (rl >= jnp.uint32(p)))
-            lo_sub = rl - jnp.uint32(p)
-            borrow = jnp.where(rl < jnp.uint32(p), jnp.int32(1), jnp.int32(0))
-            rl = jnp.where(ge, lo_sub, rl)
-            rhs = jnp.where(ge, rhs - borrow, rhs)
-        return rl.astype(self.dt)
+        return _mulmod_u32(a.astype(jnp.uint32), b.astype(jnp.uint32), self.p).astype(self.dt)
 
     def _mul_mersenne31(self, a, b):
         """(a*b) mod 2^31-1 in pure u32: 62-bit product from 16-bit halves
@@ -754,12 +764,6 @@ class OddExtOps(FieldOps):
         self.m = meta.degree
         self.dt = jnp.dtype(meta.internal_dtype)
         self.int_storage = meta.storage == STORAGE_INT
-        # products: up to m terms of (p-1)^2 each
-        self.wide = jnp.uint64 if self.m * (self.p - 1) ** 2 >= 2**32 else jnp.uint32
-        # When even the u64 accumulator would wrap (m*(p-1)^2 >= 2^64, e.g.
-        # GF(p^2) with p near 2^32), reduce each partial product mod p before
-        # accumulating; slots then hold at most m*(p-1) < 2^64.
-        self.reduce_partials = self.m * (self.p - 1) ** 2 >= 2**64
         # NumPy, not jnp: ops objects are cached across traces, so any jnp
         # constant created here would leak tracers when first built under jit.
         self.R = np.asarray(meta.reduction_matrix)  # (m-1, m) int64
@@ -780,8 +784,10 @@ class OddExtOps(FieldOps):
         if not self.int_storage:
             return d.astype(self.dt)
         p, m = self.p, self.m
-        weights = jnp.asarray([p**i for i in range(m)], dtype=jnp.uint64)
-        return jnp.sum(d.astype(jnp.uint64) * weights, axis=-1).astype(self.dt)
+        # int storage means order <= 2^31: every partial digit*p^i and the
+        # running sum are < order, so u32 is exact (no emulated u64).
+        weights = jnp.asarray([p**i for i in range(m)], dtype=jnp.uint32)
+        return jnp.sum(d.astype(jnp.uint32) * weights, axis=-1).astype(self.dt)
 
     def add(self, a, b):
         A, B = self._digits(a), self._digits(b)
@@ -803,24 +809,44 @@ class OddExtOps(FieldOps):
     def _mul_digits(self, A, B):
         # Elementwise shift-accumulate convolution + reduction-matrix fold.
         # Deliberately avoids dot_general: TPU's x64 rewriter cannot lower
-        # 64-bit contractions, while 64-bit *elementwise* ops lower fine.
+        # 64-bit contractions. All-u32 in all regimes:
+        #  - m*(p-1)^2 < 2^32: plain u32 accumulation, one % p at the end;
+        #  - p <= 2^16: per-partial u32 % p, digit sums stay < m * 2^16;
+        #  - p > 2^16: per-partial u32 Barrett mulmod (no u64 emulation),
+        #    accumulated with wrap-guarded modular adds.
         p, m = self.p, self.m
-        Aw = A.astype(self.wide)
-        Bw = B.astype(self.wide)
-        shape = jnp.broadcast_shapes(Aw.shape[:-1], Bw.shape[:-1])
-        full = jnp.zeros(shape + (2 * m - 1,), dtype=self.wide)
+        shape = jnp.broadcast_shapes(A.shape[:-1], B.shape[:-1])
+        if m * (p - 1) ** 2 < 2**32:
+            Aw = A.astype(jnp.uint32)
+            Bw = B.astype(jnp.uint32)
+            full = jnp.zeros(shape + (2 * m - 1,), dtype=jnp.uint32)
+            for i in range(m):
+                full = full.at[..., i : i + m].add(Aw[..., i : i + 1] * Bw)
+            full = full % p
+            low, high = full[..., :m], full[..., m:]
+            red = jnp.zeros(shape + (m,), dtype=jnp.uint32)
+            for k in range(m - 1):
+                row = jnp.asarray(self.R[k], dtype=jnp.uint32)
+                red = (red + high[..., k : k + 1] * row) % p
+            return ((low + red) % p).astype(jnp.uint32)
+        Aw = jnp.broadcast_to(A, shape + (m,)).astype(jnp.uint32)
+        Bw = jnp.broadcast_to(B, shape + (m,)).astype(jnp.uint32)
+
+        def mulmod(x, y):
+            if p <= 2**16:
+                return (x * y) % p  # product < 2^32, exact in u32
+            return _mulmod_u32(x, y, p)
+
+        full = jnp.zeros(shape + (2 * m - 1,), dtype=jnp.uint32)
         for i in range(m):
-            part = Aw[..., i : i + 1] * Bw
-            if self.reduce_partials:
-                part = part % p
-            full = full.at[..., i : i + m].add(part)
-        full = full % p
+            part = mulmod(Aw[..., i : i + 1], Bw)  # each entry in [0, p)
+            full = full.at[..., i : i + m].set(_addmod_u32(full[..., i : i + m], part, p))
         low, high = full[..., :m], full[..., m:]
-        red = jnp.zeros(shape + (m,), dtype=self.wide)
+        red = jnp.zeros(shape + (m,), dtype=jnp.uint32)
         for k in range(m - 1):
-            row = jnp.asarray(self.R[k], dtype=self.wide)
-            red = (red + high[..., k : k + 1] * row) % p
-        return ((low + red) % p).astype(jnp.uint32)
+            row = jnp.asarray(self.R[k], dtype=jnp.uint32)
+            red = _addmod_u32(red, mulmod(high[..., k : k + 1], row), p)
+        return _addmod_u32(low, red, p).astype(jnp.uint32)
 
     def multiply(self, a, b):
         return self._undigits(self._mul_digits(self._digits(a), self._digits(b)))
