@@ -923,7 +923,9 @@ class OddExtOps(FieldOps):
 
 class LimbPrimeOps(FieldOps):
     """GF(p) for p >= 2^32: little-endian base-2^16 limb vectors, Barrett
-    reduction with host-precomputed mu. All intermediates in int64."""
+    reduction with host-precomputed mu. All intermediates in u32 lanes —
+    limb products split into 16-bit lo/hi columns (column sums stay < 2^22),
+    so no emulated 64-bit integer op appears anywhere."""
 
     def __init__(self, meta: FieldMeta):
         super().__init__(meta)
@@ -937,15 +939,15 @@ class LimbPrimeOps(FieldOps):
         self.dt = jnp.dtype(meta.internal_dtype)
         self.MASK = (1 << LIMB_BITS) - 1
 
-    def _i64(self, a):
-        return a.astype(jnp.int64)
+    def _u32(self, a):
+        return a.astype(jnp.uint32)
 
     def _carry_norm(self, c):
-        """Propagate carries so all limbs are < 2^16. c: (..., K) int64 with
-        limbs possibly holding multi-limb magnitudes."""
+        """Propagate carries so all limbs are < 2^16. c: (..., K) u32 with
+        limbs holding sums of 16-bit quantities (< 2^22)."""
         K = c.shape[-1]
         out = []
-        carry = jnp.zeros(c.shape[:-1], dtype=jnp.int64)
+        carry = jnp.zeros(c.shape[:-1], dtype=jnp.uint32)
         for k in range(K):
             v = c[..., k] + carry
             out.append(v & self.MASK)
@@ -953,43 +955,56 @@ class LimbPrimeOps(FieldOps):
         return jnp.stack(out, axis=-1)
 
     def _mul_full(self, a, b):
-        """Schoolbook product -> 2L carry-normalized limbs."""
+        """Schoolbook product -> 2L carry-normalized limbs (u32 columns)."""
         L = self.L
-        aw, bw = self._i64(a), self._i64(b)
+        aw, bw = self._u32(a), self._u32(b)
         shape = jnp.broadcast_shapes(aw.shape[:-1], bw.shape[:-1])
-        c = jnp.zeros(shape + (2 * L,), dtype=jnp.int64)
+        LO = jnp.uint32(self.MASK)
+        c = jnp.zeros(shape + (2 * L,), dtype=jnp.uint32)
         for i in range(L):
-            c = c.at[..., i : i + L].add(aw[..., i : i + 1] * bw)
-            # Avoid overflow: after each row, partially normalize if needed.
-            # Max accumulation: L * (2^16-1)^2 + carries < 2^48 — safe in i64
-            # for L up to 2^15, so no mid-loop normalization required.
+            prod = aw[..., i : i + 1] * bw  # 16x16 -> 32, native
+            c = c.at[..., i : i + L].add(prod & LO)
+            c = c.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
+            # column sums <= 2L * (2^16 - 1) < 2^22 — no mid-loop norm needed
         return self._carry_norm(c)
 
     def _mul_const(self, a, const_limbs: np.ndarray):
         """a (limbs) times a static limb constant -> carry-normalized."""
         K = len(const_limbs)
-        aw = self._i64(a)
+        aw = self._u32(a)
         L = aw.shape[-1]
-        c = jnp.zeros(aw.shape[:-1] + (L + K,), dtype=jnp.int64)
+        LO = jnp.uint32(self.MASK)
+        c = jnp.zeros(aw.shape[:-1] + (L + K,), dtype=jnp.uint32)
         for j, cj in enumerate(const_limbs):
             cj = int(cj)
             if cj:
-                c = c.at[..., j : j + L].add(aw * cj)
+                prod = aw * jnp.uint32(cj)
+                c = c.at[..., j : j + L].add(prod & LO)
+                c = c.at[..., j + 1 : j + L + 1].add(prod >> LIMB_BITS)
         return self._carry_norm(c)
 
-    def _sub_if_ge(self, r, modulus_limbs):
-        """r - modulus if r >= modulus else r. Both (..., K) normalized limbs;
-        modulus zero-extended to K. modulus_limbs are host ints (static)."""
-        K = r.shape[-1]
-        mod = np.zeros((K,), dtype=np.int64)
-        mod[: len(modulus_limbs)] = np.asarray(modulus_limbs)
-        borrow = jnp.zeros(r.shape[:-1], dtype=jnp.int64)
+    def _sub_limbs(self, r, sub, K: int):
+        """r - sub with borrow chains over K normalized u32 limbs; sub may be
+        a list of static ints or a limb array. Returns (diff, final borrow)."""
+        borrow = jnp.zeros(r.shape[:-1], dtype=jnp.uint32)
         diff = []
         for k in range(K):
-            v = r[..., k] - int(mod[k]) - borrow
-            diff.append(v & self.MASK)
-            borrow = (v >> LIMB_BITS) & 1
-        diff = jnp.stack(diff, axis=-1)
+            sk = sub[k] if isinstance(sub, (list, np.ndarray)) else sub[..., k]
+            t = (jnp.uint32(int(sk)) if isinstance(sk, (int, np.integer)) else sk) + borrow
+            rk = r[..., k]
+            b_out = rk < t
+            diff.append((rk - t) & self.MASK)
+            borrow = b_out.astype(jnp.uint32)
+        return jnp.stack(diff, axis=-1), borrow
+
+    def _sub_if_ge(self, r, modulus_limbs):
+        """r - modulus if r >= modulus else r. r: (..., K) normalized limbs;
+        modulus zero-extended to K (host ints, static)."""
+        K = r.shape[-1]
+        mod = [0] * K
+        for k, v in enumerate(np.asarray(modulus_limbs)):
+            mod[k] = int(v)
+        diff, borrow = self._sub_limbs(r, mod, K)
         ge = borrow == 0
         return jnp.where(ge[..., None], diff, r)
 
@@ -1008,14 +1023,8 @@ class LimbPrimeOps(FieldOps):
         q3p = self._mul_const(q3, np.asarray(self.p_limbs))
         r2 = q3p[..., : L + 1]
         # r = r1 - r2 (mod b^(L+1)); result in [0, 3p)
-        borrow = jnp.zeros(x.shape[:-1], dtype=jnp.int64)
-        r = []
-        for k in range(L + 1):
-            v = r1[..., k] - r2[..., k] - borrow
-            r.append(v & self.MASK)
-            borrow = (v >> LIMB_BITS) & 1
-        r = jnp.stack(r, axis=-1)
-        # r is already correct mod b^(L+1); at most 2 conditional subtracts
+        r, _ = self._sub_limbs(r1, r2, L + 1)
+        # at most 2 conditional subtracts
         r = self._sub_if_ge(r, self.p_limbs)
         r = self._sub_if_ge(r, self.p_limbs)
         return r[..., :L].astype(self.dt)
@@ -1024,9 +1033,13 @@ class LimbPrimeOps(FieldOps):
         return self._barrett(self._mul_full(a, b))
 
     def add(self, a, b):
+        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         s = self._carry_norm(
             jnp.concatenate(
-                [self._i64(a) + self._i64(b), jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (1,), jnp.int64)],
+                [
+                    self._u32(a) + self._u32(b),
+                    jnp.zeros(shape + (1,), jnp.uint32),
+                ],
                 axis=-1,
             )
         )
@@ -1035,13 +1048,15 @@ class LimbPrimeOps(FieldOps):
 
     def negative(self, a):
         # p - a, with 0 -> 0
-        borrow = jnp.zeros(a.shape[:-1], dtype=jnp.int64)
+        borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
         out = []
-        aw = self._i64(a)
+        aw = self._u32(a)
         for k in range(self.L):
-            v = int(self.p_limbs[k]) - aw[..., k] - borrow
-            out.append(v & self.MASK)
-            borrow = (v >> LIMB_BITS) & 1
+            t = aw[..., k] + borrow
+            pk = jnp.uint32(int(self.p_limbs[k]))
+            b_out = pk < t
+            out.append((pk - t) & self.MASK)
+            borrow = b_out.astype(jnp.uint32)
         neg = jnp.stack(out, axis=-1).astype(self.dt)
         return jnp.where(self.is_zero(a)[..., None], a, neg)
 
