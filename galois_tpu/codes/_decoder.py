@@ -35,7 +35,13 @@ from ..fields._meta import FieldMeta
 from ..ops._kernels import get_ops
 
 
-@functools.lru_cache(maxsize=None)
+# Bounded: each decoder holds compiled XLA executables, and every live
+# executable pins ~50 memory mappings. An unbounded cache exhausts the
+# kernel's vm.max_map_count (65530) near ~1000 live programs — observed as
+# an LLVM abort at ~96% of the exhaustive 260-code golden matrix. LRU
+# eviction lets GC unmap retired decoders; 96 is far above any real
+# working set.
+@functools.lru_cache(maxsize=96)
 def make_decoder(
     ext_meta: FieldMeta,
     mode: str,

@@ -40,7 +40,7 @@ __all__ = ["FieldArray", "FieldArrayMeta"]
 # Kernel dispatch (cached jitted kernels per field/mode/op)
 # ----------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=2048)  # bounded: see codes/_decoder.py::make_decoder
 def _kernel(meta: FieldMeta, mode: str, opname: str):
     from ..ops._kernels import get_ops
 
@@ -1033,7 +1033,7 @@ class FieldArray(Array):
 # Power with arbitrary (multi-word) integer exponents
 # ----------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=256)  # bounded: see codes/_decoder.py::make_decoder
 def _power_words_kernel(meta: FieldMeta, mode: str, nwords: int):
     from ..ops._kernels import get_ops
 

@@ -406,7 +406,7 @@ class MatmulFFTPlan(FFTPlan):
         return X.reshape(batch + (self.N,))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)  # bounded: see codes/_decoder.py::make_decoder
 def _plan(meta: FieldMeta, N: int, omega_int: int, mode: str) -> FFTPlan:
     from ._limb_matmul import supports as _gold_supports
 
@@ -431,7 +431,7 @@ def _plan(meta: FieldMeta, N: int, omega_int: int, mode: str) -> FFTPlan:
     return FFTPlan(meta, N, omega_int, mode)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)  # bounded: see codes/_decoder.py::make_decoder
 def _fft_jit(plan: FFTPlan):
     jf = jax.jit(plan.transform)
 

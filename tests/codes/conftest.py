@@ -76,3 +76,25 @@ def random_errors(GF, N, n, max_errors):
         if idx:
             ERRORS[np.full(len(idx), i), np.array(idx)] = GF.Random(len(idx), low=1, seed=i + 1)
     return ERRORS, N_errors
+
+
+# ----------------------------------------------------------------------
+# Periodic executable release. Each live compiled program pins ~3-50
+# memory mappings; the exhaustive 260-code matrix compiles thousands of
+# distinct decoder/kernel programs in one process and exhausts the
+# kernel's vm.max_map_count (65530) near the end — LLVM then aborts
+# inside backend_compile. jax.clear_caches() unmaps everything (held
+# jitted callables transparently recompile), so flushing every 40 tests
+# keeps the map count bounded at no correctness cost.
+_TESTS_SINCE_CLEAR = [0]
+
+
+@pytest.fixture(autouse=True)
+def _periodic_executable_release():
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 40:
+        _TESTS_SINCE_CLEAR[0] = 0
+        import jax
+
+        jax.clear_caches()
