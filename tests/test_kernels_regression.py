@@ -371,3 +371,63 @@ def test_recursive_matmul_fft_plan():
     # standard sizes keep the direct two-matmul form
     pl24ish = _plan(F._meta, 2**18, _get_omega(F, 2**18), "jit-calculate")
     assert pl24ish.sub1 is None and pl24ish.sub2 is None
+
+
+def test_barrett_u32_mulmod_corners():
+    """One-shot u32 Barrett multiply (ops/_kernels.py::_mulmod_u32): the f32
+    quotient estimate must stay within the +-p correction margin at the range
+    corners — p just above 2^16, a 31-bit NTT prime, and the largest 32-bit
+    prime — including unreduced operands and near-multiple products."""
+    import jax
+    import jax.numpy as jnp
+
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import _mulmod_u32
+
+    rng = np.random.default_rng(99)
+    for p in (65537, 65551, 2013265921, 2147483659, 4294967291):
+        a = rng.integers(0, 2**32, 4096, dtype=np.uint64).astype(np.uint32)
+        b = rng.integers(0, 2**32, 4096, dtype=np.uint64).astype(np.uint32)
+        a[:3] = [p - 1, 2**32 - 1, 0]
+        b[:3] = [p - 1, 2**32 - 1, p - 1]
+        got = np.asarray(
+            jax.jit(lambda x, y: _mulmod_u32(x, y, p))(jnp.asarray(a), jnp.asarray(b)),
+            dtype=np.uint64,
+        )
+        want = (a.astype(np.uint64) * b.astype(np.uint64)) % p
+        assert np.array_equal(got, want), p
+
+
+def test_binary_ext_two_word_clmul_corners():
+    """GF(2^m) m in 17..32: the (lo, hi) two-word mask-ladder clmul and
+    constant-fold reduction against a python bit-twiddling oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import get_ops
+
+    def pymul(x, y, m, fp):
+        acc = 0
+        while y:
+            if y & 1:
+                acc ^= x
+            y >>= 1
+            x <<= 1
+        for i in range(2 * m - 2, m - 1, -1):
+            if (acc >> i) & 1:
+                acc ^= fp << (i - m)
+        return acc
+
+    rng = np.random.default_rng(7)
+    for m in (17, 24, 32):
+        GF = g.GF(2**m)
+        ops = get_ops(GF._meta, "jit-calculate")
+        f = int(GF.irreducible_poly)
+        a = rng.integers(0, 2**m, 512, dtype=np.uint64).astype(np.uint32)
+        b = rng.integers(0, 2**m, 512, dtype=np.uint64).astype(np.uint32)
+        a[:2] = [2**m - 1, 1]
+        b[:2] = [2**m - 1, 2**m - 1]
+        got = np.asarray(jax.jit(ops.multiply)(jnp.asarray(a), jnp.asarray(b)), dtype=np.uint64)
+        want = np.array([pymul(int(x), int(y), m, f) for x, y in zip(a, b)], dtype=np.uint64)
+        assert np.array_equal(got, want), m
