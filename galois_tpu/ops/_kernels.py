@@ -686,6 +686,37 @@ class BinaryExtOps(FieldOps):
             return self._reduce2(*self._clmul2(a, b))
         return self._reduce(self._clmul(a, b))
 
+    def multiply_bulk(self, a, b):
+        # Opt-in (GALOIS_TPU_GF2M_SWAR_XLA=1): large standalone u8 multiplies
+        # via the SWAR core on bitcast u32 lanes — 4 elements/lane, ~3x fewer
+        # VPU ops than the mask ladder, in plain XLA (no Pallas fusion
+        # barrier). Composite kernels keep the fusable `multiply`.
+        import os
+
+        if (
+            self.m <= 8
+            and os.environ.get("GALOIS_TPU_GF2M_SWAR_XLA")
+            and max(a.size, b.size) >= (1 << 12)
+        ):
+            from ._pallas._elementwise import _swar_mul_core
+
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            af = jnp.broadcast_to(a, shape).reshape(-1).astype(jnp.uint8)
+            bf = jnp.broadcast_to(b, shape).reshape(-1).astype(jnp.uint8)
+            n = af.shape[0]
+            pad = (-n) % 4
+            if pad:
+                af = jnp.concatenate([af, jnp.zeros((pad,), jnp.uint8)])
+                bf = jnp.concatenate([bf, jnp.zeros((pad,), jnp.uint8)])
+            A = jax.lax.bitcast_convert_type(af.reshape(-1, 4), jnp.uint32)
+            B = jax.lax.bitcast_convert_type(bf.reshape(-1, 4), jnp.uint32)
+            C = _swar_mul_core(A, B, self.m, self.f)
+            out = jax.lax.bitcast_convert_type(C, jnp.uint8).reshape(-1)
+            if pad:
+                out = out[:n]
+            return out.reshape(shape).astype(self.dt)
+        return self.multiply(a, b)
+
     def square(self, a):
         # Squaring is bit-spreading (a_i -> bit 2i) then reduction — linear in m.
         aw = a.astype(jnp.uint32)
