@@ -447,6 +447,73 @@ def main():
     # now runs by default; GALOIS_TPU_BENCH_PALLAS=0 skips it.
     import os as _os
 
+    # --- decision experiments (candidate default paths, timed every run) ---
+    try:
+        _os.environ["GALOIS_TPU_GF2M_SWAR_XLA"] = "1"
+        swar_ops = get_ops(meta, "jit-calculate")
+        fsw = jax.jit(swar_ops.multiply_bulk)
+        got = fsw(a[:4096], b[:4096])
+        ref = jax.jit(swar_ops.multiply)(a[:4096], b[:4096])
+        if bool(jnp.all(got == ref)):
+            t = time_single(fsw, a, b)
+            results["gf256_mul_swar_xla_gops"] = N / t / 1e9 if t else "sub-floor"
+            tc = time_chained(fsw, a, b)
+            results["gf256_mul_swar_xla_chain_gops"] = N / tc / 1e9
+        else:  # pragma: no cover
+            results["gf256_mul_swar_xla_gops"] = "MISMATCH"
+    except Exception as e:  # pragma: no cover
+        results["gf256_swar_xla_error"] = str(e)[:200]
+    finally:
+        _os.environ.pop("GALOIS_TPU_GF2M_SWAR_XLA", None)
+
+    try:
+        # Goldilocks multiply with the 16 u32 16x16 products replaced by
+        # exact f32 pairs (d < 2^16 times 8-bit halves: products < 2^24).
+        # Decides whether GoldilocksOps.multiply_t should move to the f32
+        # units (native) from u32 multiplies.
+        def _gold_mul_f32(dt_, et_):
+            shape = jnp.broadcast_shapes(dt_[0].shape, et_[0].shape)
+            d = [jnp.broadcast_to(v, shape).astype(jnp.float32) for v in dt_]
+            el = [jnp.broadcast_to((v & 0xFF), shape).astype(jnp.float32) for v in et_]
+            eh = [jnp.broadcast_to((v >> 8), shape).astype(jnp.float32) for v in et_]
+            zero = jnp.zeros(shape, jnp.uint32)
+            cols = [zero] * 8
+            for i in range(4):
+                for j in range(4):
+                    plo = (d[i] * el[j]).astype(jnp.uint32)
+                    phi = (d[i] * eh[j]).astype(jnp.uint32)
+                    prod = plo + (phi << 8)
+                    k = i + j
+                    cols[k] = cols[k] + (prod & 0xFFFF)
+                    cols[k + 1] = cols[k + 1] + (prod >> 16)
+            g = []
+            carry = zero
+            for k in range(8):
+                tt = cols[k] + carry
+                g.append(tt & 0xFFFF)
+                carry = tt >> 16
+            return og._reduce_digits_128_t([v.astype(jnp.int32) for v in g])
+
+        at = og.split_limbs(ag)
+        bt = og.split_limbs(bg)
+        w = og.multiply_t(tuple(v[:4096] for v in at), tuple(v[:4096] for v in bt))
+        g2 = jax.jit(_gold_mul_f32)(tuple(v[:4096] for v in at), tuple(v[:4096] for v in bt))
+        if all(bool(jnp.all(wk == gk)) for wk, gk in zip(w, g2)):
+            CH = 16
+
+            @jax.jit
+            def chain_f32(x, y):
+                yt = og.split_limbs(y)
+                acc = jax.lax.fori_loop(0, CH, lambda i, acc: _gold_mul_f32(acc, yt), og.split_limbs(x))
+                return og.join_limbs(acc)
+
+            t = corrected(time_call(chain_f32, ag, bg))
+            results["goldilocks_mul_f32_chain_gops"] = Ng / (t / CH) / 1e9 if t else "unresolvable"
+        else:  # pragma: no cover
+            results["goldilocks_mul_f32_chain_gops"] = "MISMATCH"
+    except Exception as e:  # pragma: no cover
+        results["goldilocks_f32_error"] = str(e)[:200]
+
     if _os.environ.get("GALOIS_TPU_BENCH_PALLAS") == "0":
         results["pallas"] = "skipped (GALOIS_TPU_BENCH_PALLAS=0)"
     else:
