@@ -246,6 +246,50 @@ class GLFSR(_LFSR):
         return FLFSR(self.feedback_poly, state=state.tolist())
 
 
+@functools.lru_cache(maxsize=32)
+def _bm_kernel(meta: FieldMeta, mode: str, n: int):
+    """Branch-free Berlekamp-Massey as one lax.scan over the sequence.
+
+    The host discrepancy/update loop is O(N*L) Python field ops — minutes at
+    N ~ 10^4; here each of the N steps is one K-lane field dot plus masked
+    selects, so long sequences run as a single device program (the
+    decoder-internal form in codes/_decoder.py is the fixed-(d-1) special
+    case of the same recurrence)."""
+    ops = get_ops(meta, mode)
+    K = n // 2 + 2  # deg(C) <= N/2; +1 for x^m B(x) headroom
+
+    def run(seq):
+        dt = seq.dtype
+        pad = jnp.zeros((K - 1,), dt)
+        padded = jnp.concatenate([pad, seq])
+        idx = jnp.arange(K)
+        one = ops.one_like(jnp.zeros((), dt))
+        c0 = jnp.zeros((K,), dt).at[0].set(one)
+
+        def step(carry, t):
+            c, b, L, m, bcoef = carry
+            win = jax.lax.dynamic_slice(padded, (t,), (K,))
+            d = _field_dot(ops, c, win[::-1])  # sum_i c[i] * seq[t-i]
+            coef = ops.multiply(d, ops.reciprocal(bcoef))  # bcoef != 0 invariant
+            # x^m * B(x): shift coefficients up by m, zero-fill below
+            shifted = jnp.where(idx >= m, jnp.roll(b, m), jnp.zeros_like(b))
+            c_new = ops.subtract(c, ops.multiply(jnp.broadcast_to(coef, (K,)), shifted))
+            d_zero = ops.is_zero(d)
+            relen = (~d_zero) & (2 * L <= t)
+            c_out = jnp.where(d_zero, c, c_new)
+            b_out = jnp.where(relen, c, b)
+            bcoef_out = jnp.where(relen, d, bcoef)
+            L_out = jnp.where(relen, t + 1 - L, L)
+            m_out = jnp.where(relen, jnp.int32(1), m + jnp.int32(1))
+            return (c_out, b_out, L_out, m_out, bcoef_out), None
+
+        init = (c0, c0, jnp.int32(0), jnp.int32(1), one)
+        (c, _, L, _, _), _ = jax.lax.scan(step, init, jnp.arange(n, dtype=jnp.int32))
+        return c, L
+
+    return jax.jit(run)
+
+
 def berlekamp_massey(sequence, output: str = "characteristic"):
     """Berlekamp-Massey: minimal LFSR of a linear recurrent sequence
     (reference: src/galois/_lfsr.py:1502-1619)."""
@@ -262,6 +306,27 @@ def berlekamp_massey(sequence, output: str = "characteristic"):
 
     hf = get_host_field(field._meta)
     seq = [int(v) for v in np.asarray(sequence, dtype=object)]
+
+    # Long sequences: one device scan instead of the O(N*L) host loop.
+    if (
+        field._meta.storage == STORAGE_INT
+        and len(seq) >= 512
+        and field._mode != "python-calculate"
+    ):
+        kern = _bm_kernel(field._meta, "jit-calculate", len(seq))
+        c_arr, L_dev = kern(sequence._data)
+        L = int(L_dev)
+        c = [int(v) for v in np.asarray(c_arr[: L + 1], dtype=np.int64)]
+        connection_poly = Poly(c[: L + 1][::-1], field=field)
+        if output == "characteristic":
+            return connection_poly.reverse()
+        if output == "connection":
+            return connection_poly
+        state = np.asarray(sequence, dtype=object)[: connection_poly.degree][::-1]
+        fib = FLFSR(connection_poly, state=state.tolist())
+        if output == "fibonacci":
+            return fib
+        return fib.to_galois_lfsr()
 
     # Classic discrepancy/update form.
     N = len(seq)

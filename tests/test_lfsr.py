@@ -99,3 +99,25 @@ def test_exceptions():
         g.FLFSR(g.Poly(coeffs, field=g.GF(7)))
     with pytest.raises(ValueError):
         g.FLFSR(c.reverse(), state=[1, 2, 3, 4, 5])
+
+
+def test_berlekamp_massey_device_scan_matches_host():
+    """Sequences >= 512 route through the lax.scan BM kernel; it must agree
+    with the host discrepancy loop on the same recurrence."""
+    import numpy as np
+
+    import galois_tpu as g
+
+    rng = np.random.default_rng(5)
+    for q in (2, 2**8, 31):
+        GF = g.GF(q)
+        deg = 9
+        coeffs = [1] + [int(v) for v in rng.integers(0, q, deg - 1)] + [1]
+        lf = g.FLFSR(g.Poly(coeffs, field=GF), state=[1] * deg)
+        seq = lf.step(600)
+        dev = g.berlekamp_massey(seq)            # device path (N=600)
+        host = g.berlekamp_massey(seq[:40])      # host path, same recurrence
+        assert dev == host
+        assert dev == g.berlekamp_massey(seq, output="characteristic")
+        conn = g.berlekamp_massey(seq, output="connection")
+        assert conn.reverse() == dev
