@@ -1,0 +1,74 @@
+"""Mesh-sharded FEC decode: the batch (codeword) axis over devices.
+
+Decoding is embarrassingly parallel across codewords — the reference's
+per-codeword batch loop (src/galois/_codes/_bch.py:1347) maps to ONE
+fixed-shape XLA program whose leading axis XLA partitions over the mesh.
+This wrapper places the received batch with a NamedSharding and feeds the
+raw jitted decoder directly (the convenience `code.decode` path round-trips
+through host NumPy, which would gather the batch to one device).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codes._decoder import make_decoder
+
+__all__ = ["sharded_decode"]
+
+
+def _raw_decoder(code, ns: int, with_erasures: bool):
+    """The jitted fixed-shape decoder for `code` at received length ns.
+
+    Mirrors BCH/RS `_decode_codeword` construction (codes/_bch.py,
+    codes/_rs.py); syndrome arithmetic runs in the extension field for BCH
+    and in the symbol field for RS."""
+    ext = getattr(code, "extension_field", None) or code.field
+    mode = ext._mode if ext._mode != "python-calculate" else ext._meta.default_ufunc_mode
+    return ext, make_decoder(
+        ext._meta,
+        mode,
+        code.field.order,
+        ns,
+        code.n,
+        code.d,
+        code.c,
+        int(code.alpha),
+        with_erasures=with_erasures,
+    )
+
+
+def sharded_decode(code, received, mesh: Mesh, axis: str = "x", output: str = "codeword"):
+    """Decode a (B, ns) batch with B sharded over `mesh[axis]`.
+
+    Returns ``(decoded, n_errors)`` where ``decoded`` is a FieldArray of
+    corrected codewords (``output="codeword"``) or, for systematic codes,
+    the recovered messages (``output="message"``, a device-side slice that
+    preserves the sharding). ``n_errors`` is -1 where correction failed,
+    matching ``code.decode(..., errors=True)``.
+    """
+    if output not in ("codeword", "message"):
+        raise ValueError(f"Argument 'output' must be 'codeword' or 'message', not {output!r}.")
+    field = code.field
+    r = np.asarray(received, dtype=np.int64) if not hasattr(received, "_data") else None
+    if r is not None:
+        data = jnp.asarray(r)
+    else:
+        data = received._data.astype(jnp.int64)
+    if data.ndim != 2:
+        raise ValueError(f"Argument 'received' must be 2-D (batch, ns), not {data.ndim}-D.")
+    ns = data.shape[-1]
+    ext, decoder = _raw_decoder(code, ns, with_erasures=False)
+    sharding = NamedSharding(mesh, P(axis, None))
+    dev = jax.device_put(data.astype(ext._meta.internal_dtype), sharding)
+    out, n_errors = decoder(dev)
+    out = (out.astype(jnp.int64) % field.order).astype(field._meta.internal_dtype)
+    if output == "message":
+        if not code.is_systematic:
+            raise ValueError("output='message' requires a systematic code.")
+        ks = code.k - (code.n - ns)  # shortened message length
+        out = out[..., :ks]
+    return field._view(out, None), n_errors

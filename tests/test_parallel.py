@@ -112,3 +112,30 @@ def test_sharded_batched_ntt_goldilocks(mesh):
     X = sharded_batched_fft(F, x, mesh, "x")
     ref = np.stack([np.asarray(field_fft(x[i]), dtype=object) for i in range(8)])
     assert np.array_equal(np.asarray(X, dtype=object), ref)
+
+
+def test_sharded_decode_rs_and_bch(mesh):
+    """Codeword-axis-sharded decode matches the single-device decode and
+    keeps the batch sharded on the mesh."""
+    import jax
+    import numpy as np
+
+    import galois_tpu as g
+    from galois_tpu.parallel import sharded_decode
+
+    rs = g.ReedSolomon(15, 11)
+    B = 16
+    m = rs.field.Random((B, 11), seed=7)
+    cw = np.asarray(rs.encode(m), dtype=np.int64)
+    cw[:, 1] ^= 9; cw[:, 8] ^= 4
+    dec, nerr = sharded_decode(rs, cw, mesh, "x", output="message")
+    assert np.array_equal(np.asarray(dec), np.asarray(m))
+    assert all(int(e) == 2 for e in np.asarray(nerr))
+    assert "x" in str(dec._data.sharding.spec)
+
+    bch = g.BCH(15, 7)
+    mb = bch.field.Random((8, 7), seed=8)
+    cb = np.asarray(bch.encode(mb), dtype=np.int64)
+    cb[:, 0] ^= 1; cb[:, 13] ^= 1
+    db, _ = sharded_decode(bch, cb, mesh, "x", output="message")
+    assert np.array_equal(np.asarray(db), np.asarray(mb))
