@@ -61,11 +61,16 @@ def sharded_decode(code, received, mesh: Mesh, axis: str = "x", output: str = "c
     if data.ndim != 2:
         raise ValueError(f"Argument 'received' must be 2-D (batch, ns), not {data.ndim}-D.")
     ns = data.shape[-1]
-    ext, decoder = _raw_decoder(code, ns, with_erasures=False)
     sharding = NamedSharding(mesh, P(axis, None))
-    dev = jax.device_put(data.astype(ext._meta.internal_dtype), sharding)
-    out, n_errors = decoder(dev)
-    out = (out.astype(jnp.int64) % field.order).astype(field._meta.internal_dtype)
+    if code.d <= 1:
+        # d = 1: no correction capability — decode is the identity
+        out = jax.device_put(data.astype(field._meta.internal_dtype), sharding)
+        n_errors = jnp.zeros(data.shape[0], dtype=jnp.int64)
+    else:
+        ext, decoder = _raw_decoder(code, ns, with_erasures=False)
+        dev = jax.device_put(data.astype(ext._meta.internal_dtype), sharding)
+        out, n_errors = decoder(dev)
+        out = (out.astype(jnp.int64) % field.order).astype(field._meta.internal_dtype)
     if output == "message":
         if not code.is_systematic:
             raise ValueError("output='message' requires a systematic code.")
