@@ -256,7 +256,11 @@ def _bm_kernel(meta: FieldMeta, mode: str, n: int):
     decoder-internal form in codes/_decoder.py is the fixed-(d-1) special
     case of the same recurrence)."""
     ops = get_ops(meta, mode)
-    K = n // 2 + 2  # deg(C) <= N/2; +1 for x^m B(x) headroom
+    # Capacity must cover ANY reachable connection poly: linear complexity
+    # can reach n itself (e.g. an impulse at the end of an all-zero prefix
+    # gives C(x) = x^n + ... with L = n), and the x^m B(x) update can touch
+    # degree t <= n-1 mid-run. K = n + 1 holds every intermediate exactly.
+    K = n + 1
 
     def run(seq):
         dt = seq.dtype
@@ -317,16 +321,7 @@ def berlekamp_massey(sequence, output: str = "characteristic"):
         c_arr, L_dev = kern(sequence._data)
         L = int(L_dev)
         c = [int(v) for v in np.asarray(c_arr[: L + 1], dtype=np.int64)]
-        connection_poly = Poly(c[: L + 1][::-1], field=field)
-        if output == "characteristic":
-            return connection_poly.reverse()
-        if output == "connection":
-            return connection_poly
-        state = np.asarray(sequence, dtype=object)[: connection_poly.degree][::-1]
-        fib = FLFSR(connection_poly, state=state.tolist())
-        if output == "fibonacci":
-            return fib
-        return fib.to_galois_lfsr()
+        return _bm_output(sequence, c, L, field, output)
 
     # Classic discrepancy/update form.
     N = len(seq)
@@ -361,6 +356,11 @@ def berlekamp_massey(sequence, output: str = "characteristic"):
                     c[i + m] = hf.subtract(c[i + m], hf.multiply(coef, bi))
             m += 1
 
+    return _bm_output(sequence, c, L, field, output)
+
+
+def _bm_output(sequence, c, L, field, output):
+    """Shared tail: ascending connection coefficients -> requested form."""
     connection_poly = Poly(c[: L + 1][::-1], field=field)
     if output == "characteristic":
         return connection_poly.reverse()

@@ -65,6 +65,26 @@ def _pow_static(multiply, square, a, e: int, one):
     return result
 
 
+def _mul_u32_full(av, bv):
+    """Full 64-bit product of two u32 arrays as (phi, plo) u32 words,
+    built from native 16x16->32 halves with explicit carry detection."""
+    LO = jnp.uint32(0xFFFF)
+    a0, a1 = av & LO, av >> 16
+    b0, b1 = bv & LO, bv >> 16
+    ll = a0 * b0
+    lh0 = a0 * b1
+    lh1 = a1 * b0
+    hh = a1 * b1
+    t = (lh0 & LO) << 16
+    plo = ll + t
+    c0 = jnp.where(plo < t, jnp.uint32(1), jnp.uint32(0))
+    t = (lh1 & LO) << 16
+    plo2 = plo + t
+    c1 = jnp.where(plo2 < t, jnp.uint32(1), jnp.uint32(0))
+    phi = hh + (lh0 >> 16) + (lh1 >> 16) + c0 + c1
+    return phi, plo2
+
+
 def _mulmod_u32(av, bv, p: int):
     """(av*bv) mod p for 2^16 < p < 2^32, u32 arrays in, u32 out.
 
@@ -106,20 +126,7 @@ def _mulmod_u32(av, bv, p: int):
         carry = jnp.where(lo < l1, jnp.uint32(1), jnp.uint32(0))
         return h1 + h2 + carry, lo
 
-    a0, a1 = av & LO, av >> 16
-    b0, b1 = bv & LO, bv >> 16
-    ll = a0 * b0
-    lh0 = a0 * b1
-    lh1 = a1 * b0
-    hh = a1 * b1
-    # plo/phi: full product = phi*2^32 + plo
-    t = (lh0 & LO) << 16
-    plo = ll + t
-    c0 = jnp.where(plo < t, jnp.uint32(1), jnp.uint32(0))
-    t = (lh1 & LO) << 16
-    plo2 = plo + t
-    c1 = jnp.where(plo2 < t, jnp.uint32(1), jnp.uint32(0))
-    phi = hh + (lh0 >> 16) + (lh1 >> 16) + c0 + c1
+    phi, plo2 = _mul_u32_full(av, bv)
     # fold digits d3 = phi>>16, d2 = phi&LO with static constants
     c32 = (1 << 32) % p
     c48 = (1 << 48) % p
@@ -586,7 +593,6 @@ class BinaryExtOps(FieldOps):
         self.f = meta.irreducible_poly_int
         self.dt = jnp.dtype(meta.internal_dtype)
         self.two_words = 2 * self.m - 1 > 32  # m in 17..32: (lo, hi) u32 pair
-        self.wide = jnp.uint32  # all arithmetic stays in u32 lanes
         # Reduction constant R = f - x^m: x^m ≡ R (mod f). Folding the
         # overflow bits down is a constant carry-less multiply by R —
         # popcount(R) shift-xors per round instead of a per-bit select
@@ -691,6 +697,9 @@ class BinaryExtOps(FieldOps):
         # via the SWAR core on bitcast u32 lanes — 4 elements/lane, ~3x fewer
         # VPU ops than the mask ladder, in plain XLA (no Pallas fusion
         # barrier). Composite kernels keep the fusable `multiply`.
+        # NOTE: the flag is read at TRACE time; a shape traced before the
+        # flag changes replays its cached executable (set the flag before
+        # first use — it is a measurement knob, not a runtime switch).
         import os
 
         if (
@@ -822,9 +831,8 @@ class OddExtOps(FieldOps):
 
     def add(self, a, b):
         A, B = self._digits(a), self._digits(b)
-        s = A.astype(jnp.uint32) + B.astype(jnp.uint32)
-        s = jnp.where(s >= self.p, s - self.p, s)
-        return self._undigits(s)
+        # wrap-guarded: digit sums exceed 2^32 when p > 2^31
+        return self._undigits(_addmod_u32(A.astype(jnp.uint32), B.astype(jnp.uint32), self.p))
 
     def negative(self, a):
         A = self._digits(a).astype(jnp.uint32)
@@ -832,10 +840,13 @@ class OddExtOps(FieldOps):
         return self._undigits(n)
 
     def subtract(self, a, b):
-        A, B = self._digits(a), self._digits(b)
-        d = A.astype(jnp.uint32) + (self.p - B.astype(jnp.uint32))
-        d = jnp.where(d >= self.p, d - self.p, d)
-        return self._undigits(d)
+        # a - b + p computed mod 2^32: the true digit is in [0, p) < 2^32,
+        # so the wrapped low word IS the result (A + (p - B) overflows u32
+        # for p > 2^31).
+        A = self._digits(a).astype(jnp.uint32)
+        B = self._digits(b).astype(jnp.uint32)
+        d = A - B
+        return self._undigits(jnp.where(A < B, d + jnp.uint32(self.p), d))
 
     def _mul_digits(self, A, B):
         # Elementwise shift-accumulate convolution + reduction-matrix fold.

@@ -61,6 +61,18 @@ def sharded_decode(code, received, mesh: Mesh, axis: str = "x", output: str = "c
     if data.ndim != 2:
         raise ValueError(f"Argument 'received' must be 2-D (batch, ns), not {data.ndim}-D.")
     ns = data.shape[-1]
+    # same ns validation as code.decode (codes/_linear.py): full length for
+    # non-systematic codes, [n-k+1, n] for shortened systematic ones
+    min_ns = code.n - code.k + 1 if code.is_systematic else code.n
+    if not (min_ns <= ns <= code.n):
+        raise ValueError(
+            f"Argument 'received' must have last dimension in [{min_ns}, {code.n}], not {ns}."
+        )
+    if r is not None and (r.min() < 0 or r.max() >= code.field.order):
+        raise ValueError(
+            f"Argument 'received' must contain symbols in [0, {code.field.order}), "
+            f"found range [{r.min()}, {r.max()}]."
+        )
     sharding = NamedSharding(mesh, P(axis, None))
     if code.d <= 1:
         # d = 1: no correction capability — decode is the identity

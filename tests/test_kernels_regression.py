@@ -431,3 +431,23 @@ def test_binary_ext_two_word_clmul_corners():
         got = np.asarray(jax.jit(ops.multiply)(jnp.asarray(a), jnp.asarray(b)), dtype=np.uint64)
         want = np.array([pymul(int(x), int(y), m, f) for x, y in zip(a, b)], dtype=np.uint64)
         assert np.array_equal(got, want), m
+
+
+def test_oddext_digit_addsub_p_above_2_31():
+    """Digit add/sub for GF(p^m) with p > 2^31 must not wrap u32 sums
+    (review finding: A+B and A+(p-B) exceed 2^32)."""
+    import galois_tpu as g
+    from galois_tpu.fields._hostfield import get_host_field
+
+    p = 2147483659
+    c = next(c for c in range(2, 60) if g.kronecker_symbol(c, p) == -1)
+    f = g.Poly([1, 0, (-c) % p], field=g.GF(p))
+    GF = g.GF(p**2, irreducible_poly=f)
+    hf = get_host_field(GF._meta)
+    a = GF.Random((32,), seed=1)
+    b = GF.Random((32,), seed=2)
+    s_, d_, n_ = a + b, a - b, -a
+    for k in range(32):
+        assert hf.add(int(a[k]), int(b[k])) == int(s_[k])
+        assert hf.subtract(int(a[k]), int(b[k])) == int(d_[k])
+        assert hf.negative(int(a[k])) == int(n_[k])

@@ -121,3 +121,16 @@ def test_berlekamp_massey_device_scan_matches_host():
         assert dev == g.berlekamp_massey(seq, output="characteristic")
         conn = g.berlekamp_massey(seq, output="connection")
         assert conn.reverse() == dev
+
+
+def test_berlekamp_massey_device_high_complexity():
+    """Linear complexity can reach the full sequence length (an impulse at
+    the end of an all-zero prefix); the device scan must not truncate the
+    connection polynomial (review finding: K = n//2 capacity was too small)."""
+    import galois_tpu as g
+
+    GF2 = g.GF(2)
+    seq = GF2([0] * 511 + [1])
+    conn = g.berlekamp_massey(seq, output="connection")
+    assert conn.degree == 512
+    assert conn == g.Poly.Degrees([512, 0], field=GF2)
