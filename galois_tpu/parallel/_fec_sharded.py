@@ -41,14 +41,18 @@ def _raw_decoder(code, ns: int, with_erasures: bool):
     )
 
 
-def sharded_decode(code, received, mesh: Mesh, axis: str = "x", output: str = "codeword"):
+def sharded_decode(
+    code, received, mesh: Mesh, axis: str = "x", output: str = "codeword", erasures=None
+):
     """Decode a (B, ns) batch with B sharded over `mesh[axis]`.
 
     Returns ``(decoded, n_errors)`` where ``decoded`` is a FieldArray of
     corrected codewords (``output="codeword"``) or, for systematic codes,
     the recovered messages (``output="message"``, a device-side slice that
     preserves the sharding). ``n_errors`` is -1 where correction failed,
-    matching ``code.decode(..., errors=True)``.
+    matching ``code.decode(..., errors=True)``. ``erasures`` is the same
+    boolean (B, ns) mask ``code.decode`` takes; it is sharded alongside the
+    received batch.
     """
     if output not in ("codeword", "message"):
         raise ValueError(f"Argument 'output' must be 'codeword' or 'message', not {output!r}.")
@@ -79,9 +83,19 @@ def sharded_decode(code, received, mesh: Mesh, axis: str = "x", output: str = "c
         out = jax.device_put(data.astype(field._meta.internal_dtype), sharding)
         n_errors = jnp.zeros(data.shape[0], dtype=jnp.int64)
     else:
-        ext, decoder = _raw_decoder(code, ns, with_erasures=False)
+        if erasures is not None:
+            emask = np.asarray(erasures)
+            if emask.dtype != bool or emask.shape != tuple(data.shape):
+                raise ValueError(
+                    "Argument 'erasures' must be a boolean mask with the received batch's shape."
+                )
+        ext, decoder = _raw_decoder(code, ns, with_erasures=erasures is not None)
         dev = jax.device_put(data.astype(ext._meta.internal_dtype), sharding)
-        out, n_errors = decoder(dev)
+        if erasures is None:
+            out, n_errors = decoder(dev)
+        else:
+            edev = jax.device_put(jnp.asarray(emask), sharding)
+            out, n_errors = decoder(dev, edev)
         out = (out.astype(jnp.int64) % field.order).astype(field._meta.internal_dtype)
     if output == "message":
         if not code.is_systematic:

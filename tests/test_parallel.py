@@ -139,3 +139,24 @@ def test_sharded_decode_rs_and_bch(mesh):
     cb[:, 0] ^= 1; cb[:, 13] ^= 1
     db, _ = sharded_decode(bch, cb, mesh, "x", output="message")
     assert np.array_equal(np.asarray(db), np.asarray(mb))
+
+
+def test_sharded_decode_erasures(mesh):
+    """Erasure masks shard alongside the batch; results match code.decode."""
+    import numpy as np
+
+    import galois_tpu as g
+    from galois_tpu.parallel import sharded_decode
+
+    rs = g.ReedSolomon(15, 9)
+    m = rs.field.Random((8, 9), seed=3)
+    cw = np.asarray(rs.encode(m), dtype=np.int64)
+    cw[:, 1] ^= 3
+    era = np.zeros_like(cw, dtype=bool)
+    era[:, 4] = True
+    cw[:, 4] = 0
+    dec, ne = sharded_decode(rs, cw, mesh, "x", output="message", erasures=era)
+    ref, ne_ref = rs.decode(rs.field(cw), erasures=era, errors=True)
+    assert np.array_equal(np.asarray(dec), np.asarray(m))
+    assert np.array_equal(np.asarray(dec), np.asarray(ref))
+    assert np.array_equal(np.asarray(ne), np.asarray(ne_ref))
