@@ -75,6 +75,12 @@ def main():
             continue
         doc = (inspect.getdoc(o) or "").strip().split("\n")[0]
         cats[categorize(n)].append((n, doc))
+    # multi-device API (not re-exported at the root: sharding is opt-in)
+    import galois_tpu.parallel as par
+
+    for n in par.__all__:
+        doc = (inspect.getdoc(getattr(par, n)) or "").strip().split("\n")[0]
+        cats["Linear sequences & transforms"].append((f"parallel.{n}", doc))
     for c in CATS:
         if not cats[c]:
             continue
