@@ -9,10 +9,17 @@ whole-array calls corrected by the measured dispatch floor.
 Usage: python benchmarks/bench_grid.py [N]
 """
 
+import os
 import sys
 import time
 
 import jax
+
+if os.environ.get("GALOIS_TPU_BENCH_CPU"):
+    # Same dev knob as bench.py: the only reliable way to keep this script
+    # off the axon tunnel (shell-level JAX_PLATFORMS=cpu is not).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
