@@ -10,10 +10,18 @@ Usage:
         python benchmarks/bench_scaling.py [log2_N]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+if os.environ.get("GALOIS_TPU_BENCH_CPU"):
+    # Same dev knob as bench.py: shell-level JAX_PLATFORMS=cpu does NOT
+    # reliably keep a script off the axon tunnel; only the config update does.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _sync(out):
@@ -75,6 +83,35 @@ def main():
         )
     else:
         print("single device only — run with a mesh for scaling numbers")
+
+    # --- RS(255,223) decode scaling (embarrassingly parallel batch) ---
+    rs = gt.ReedSolomon(255, 223)
+    B = max(D, 1) * 256
+    msgs = rs.field.Random((B, 223), seed=1)
+    cws = np.asarray(rs.encode(msgs), dtype=np.int64)
+    cws[:, 7] ^= 99
+    from galois_tpu.codes._decoder import make_decoder
+
+    dec = make_decoder(
+        rs.field._meta, rs.field._meta.default_ufunc_mode, rs.field.order,
+        255, 255, rs.d, rs.c, int(rs.alpha), with_erasures=False,
+    )
+    r1 = jnp.asarray(cws.astype(np.uint8))
+    t1 = timeit(dec, r1, reps=3, warmup=1)
+    print(f"1-device RS(255,223) decode B={B}: {t1*1e3:.2f} ms ({B/t1:.0f} cw/s)")
+    if D > 1:
+        from galois_tpu.parallel import sharded_decode
+
+        def run(batch):
+            out, nerr = sharded_decode(rs, batch, mesh, "x")
+            return out._data
+
+        tD = timeit(run, cws, reps=3, warmup=1)
+        eff = t1 / (D * tD)
+        print(
+            f"{D}-device sharded decode: {tD*1e3:.2f} ms "
+            f"(speedup {t1/tD:.2f}x, efficiency {eff*100:.0f}%)"
+        )
 
 
 if __name__ == "__main__":
