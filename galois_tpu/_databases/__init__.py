@@ -16,12 +16,17 @@ composites (reference src/galois/_databases/_interface.py:38-75).
 from __future__ import annotations
 
 import functools
-import pathlib
+import io
+from importlib import resources
 from typing import Dict, List, Tuple
 
 import numpy as np
 
-_DATA_DIR = pathlib.Path(__file__).resolve().parent
+
+def _read_data(filename: str) -> bytes:
+    # importlib.resources (not a raw __file__ path): works from a wheel /
+    # zipimport as well as a source tree.
+    return resources.files(__package__).joinpath(filename).read_bytes()
 
 __all__ = ["ConwayPolyDatabase", "IrreduciblePolyDatabase", "PrimeFactorsDatabase"]
 
@@ -32,8 +37,7 @@ class _SparsePolyDatabase:
     filename: str = ""
 
     def __init__(self):
-        path = _DATA_DIR / self.filename
-        with np.load(path) as z:
+        with np.load(io.BytesIO(_read_data(self.filename))) as z:
             index = z["index"]
             self._degrees = z["degrees"]
             self._coeffs = z["coeffs"]
@@ -79,12 +83,12 @@ class _PrimeFactorsDatabase:
 
     def __init__(self):
         self._table: Dict[int, Tuple[List[int], List[int], int]] = {}
-        path = _DATA_DIR / self.filename
-        if not path.exists():
+        res = resources.files(__package__).joinpath(self.filename)
+        if not res.is_file():
             return
         import gzip
 
-        with gzip.open(path, "rt") as fh:
+        with gzip.open(io.BytesIO(res.read_bytes()), "rt") as fh:
             for line in fh:
                 value_s, p_str, e_str, rem_s = line.split()
                 ps = [] if p_str == "-" else [int(x) for x in p_str.split(",")]
