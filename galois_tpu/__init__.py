@@ -13,7 +13,12 @@ import jax as _jax
 # Exact 64-bit integer arithmetic is load-bearing for large prime fields.
 _jax.config.update("jax_enable_x64", True)
 
-__version__ = "0.1.0"
+try:
+    from importlib.metadata import version as _pkg_version
+
+    __version__ = _pkg_version("galois-tpu")
+except Exception:  # not installed (source-tree import)
+    __version__ = "0.2.0"
 
 from ._options import get_printoptions, printoptions, set_printoptions  # noqa: E402
 from . import typing  # noqa: E402
