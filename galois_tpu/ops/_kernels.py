@@ -1335,12 +1335,31 @@ class GoldilocksOps(LimbPrimeOps):
         d, e, shape = self._bcast2_t(a, b)
         zero = jnp.zeros(shape, jnp.uint32)
         cols = [zero] * 8
-        for i in range(4):
-            for j in range(4):
-                prod = d[i] * e[j]  # native 16x16 -> 32
-                k = i + j
-                cols[k] = cols[k] + (prod & 0xFFFF)
-                cols[k + 1] = cols[k + 1] + (prod >> 16)
+        import os
+
+        if os.environ.get("GALOIS_TPU_GOLDILOCKS_F32"):
+            # Opt-in: the 16 u32 16x16 products as exact f32 pairs
+            # (d < 2^16 times 8-bit halves of e: products < 2^24, exact in
+            # f32). Moves the multiply load to the native f32 units; read at
+            # TRACE time (measurement knob, set before first use).
+            df = [v.astype(jnp.float32) for v in d]
+            el = [(v & jnp.uint32(0xFF)).astype(jnp.float32) for v in e]
+            eh = [(v >> 8).astype(jnp.float32) for v in e]
+            for i in range(4):
+                for j in range(4):
+                    plo = (df[i] * el[j]).astype(jnp.uint32)
+                    phi = (df[i] * eh[j]).astype(jnp.uint32)
+                    prod = plo + (phi << 8)
+                    k = i + j
+                    cols[k] = cols[k] + (prod & 0xFFFF)
+                    cols[k + 1] = cols[k + 1] + (prod >> 16)
+        else:
+            for i in range(4):
+                for j in range(4):
+                    prod = d[i] * e[j]  # native 16x16 -> 32
+                    k = i + j
+                    cols[k] = cols[k] + (prod & 0xFFFF)
+                    cols[k + 1] = cols[k + 1] + (prod >> 16)
         g = []
         carry = zero
         for k in range(8):
