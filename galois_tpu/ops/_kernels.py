@@ -88,6 +88,10 @@ def _mul_u32_full(av, bv):
 def _mulmod_u32(av, bv, p: int):
     """(av*bv) mod p for 2^16 < p < 2^32, u32 arrays in, u32 out.
 
+    Reference semantics: src/galois/_domains/_calculate.py:308-340
+    (multiply_modular); the reference relies on int64 scalar arithmetic,
+    which the TPU VPU emulates — this is the u32-native redesign.
+
     64-bit multiply and constant-modulus division are emulated on the
     TPU VPU (the generic u64 path measured ~15x slower than the all-u32
     Mersenne kernel). Pipeline:
@@ -637,7 +641,8 @@ class BinaryExtOps(FieldOps):
         return c.astype(self.dt)
 
     def _clmul2(self, a, b):
-        """Carry-less product for m in 17..32 as a (lo, hi) u32 pair —
+        """Carry-less product for m in 17..32 as a (lo, hi) u32 pair
+        (reference scalar form: src/galois/_domains/_calculate.py:288-324) —
         replaces the former u64 formulation, which TPU emulates in 32-bit
         halves with 3 integer multiplies per masked term."""
         a32 = a.astype(jnp.uint32)
