@@ -146,15 +146,72 @@ def _dev_rand_u32(n, seed):
     return x ^ (x >> 13)
 
 
-def main():
-    import galois_tpu as gt
-    from galois_tpu.ops._kernels import get_ops
+def _resolve_backend():
+    """Return the platform name, degrading to CPU if the TPU tunnel is down.
 
-    platform = jax.default_backend()
+    Round 2's driver capture failed (BENCH_r02.json rc=1) because
+    ``jax.default_backend()`` raised ``RuntimeError: Unable to initialize
+    backend 'axon'`` when the tunnel was unavailable, so the contractual JSON
+    line was never printed. The bench must always emit its line; when the TPU
+    is unreachable we fall back to CPU and mark the platform accordingly.
+    """
+    try:
+        return jax.default_backend()
+    except Exception as e:
+        print(f"TPU backend unavailable ({e}); falling back to CPU", file=sys.stderr)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            return jax.default_backend()
+        except Exception as e2:  # pragma: no cover
+            print(f"CPU fallback also failed: {e2}", file=sys.stderr)
+            return None
+
+
+def main():
+    results = {}
+    headline = None
+    err = None
+    platform = _resolve_backend()
+    if platform is None:
+        err = "no JAX backend available"
+    else:
+        try:
+            import galois_tpu as gt
+            from galois_tpu.ops._kernels import get_ops
+
+            headline = _run(gt, get_ops, platform, results)
+        except Exception as e:  # pragma: no cover
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            err = f"{type(e).__name__}: {e}"[:300]
+
+    print(
+        json.dumps(
+            {
+                "platform": platform,
+                **{k: (round(v, 4) if isinstance(v, float) else v) for k, v in results.items()},
+            }
+        ),
+        file=sys.stderr,
+    )
+    line = {
+        "metric": "GF(2^8) elementwise multiply",
+        "value": round(headline, 4) if headline else 0.0,
+        "unit": "Gops/s",
+        "vs_baseline": round(headline / REFERENCE_GF256_MUL_GOPS, 2) if headline else 0.0,
+    }
+    if err:
+        line["error"] = err
+    if platform and platform != "tpu":
+        line["note"] = f"ran on {platform}, not TPU"
+    print(json.dumps(line))
+
+
+def _run(gt, get_ops, platform, results):
     # u8 ops at 2^24 complete under the dispatch floor; use 2^26 on TPU
     N = 2**26 if platform == "tpu" else 2**20
-
-    results = {}
+    results["n_elems"] = N
 
     # --- GF(2^8) multiply (headline) ---
     GF256 = gt.GF(2**8)
@@ -191,7 +248,8 @@ def main():
             best = max(best or 0, headline_candidate)
     headline = best
     # implied HBM traffic at 3 bytes/elem (2 in + 1 out)
-    results["gf256_mul_implied_GBps"] = best * 3
+    if best is not None:
+        results["gf256_mul_implied_GBps"] = best * 3
 
     # --- GF(2^8) add (XOR, pure bandwidth; a chain would fold
     # algebraically, so sub-floor stays unresolvable) ---
@@ -519,23 +577,7 @@ def main():
     else:
         _bench_pallas(results, meta, a, b, N, rng)
 
-    print(
-        json.dumps(
-            {
-                "platform": platform,
-                "n_elems": N,
-                **{k: (round(v, 4) if isinstance(v, float) else v) for k, v in results.items()},
-            }
-        ),
-        file=sys.stderr,
-    )
-
-    print(json.dumps({
-        "metric": "GF(2^8) elementwise multiply",
-        "value": round(headline, 4),
-        "unit": "Gops/s",
-        "vs_baseline": round(headline / REFERENCE_GF256_MUL_GOPS, 2),
-    }))
+    return headline
 
 
 def _bench_pallas(results, meta, a, b, N, rng):

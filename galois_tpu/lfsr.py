@@ -309,21 +309,24 @@ def berlekamp_massey(sequence, output: str = "characteristic"):
     from .fields._hostfield import get_host_field
 
     hf = get_host_field(field._meta)
-    seq = [int(v) for v in np.asarray(sequence, dtype=object)]
 
-    # Long sequences: one device scan instead of the O(N*L) host loop.
+    # Long sequences: one device scan instead of the O(N*L) host loop. The
+    # host int conversion below is deliberately AFTER this early return so
+    # the device path never pays an O(N) per-element D2H round trip whose
+    # result would be discarded.
     if (
         field._meta.storage == STORAGE_INT
-        and len(seq) >= 512
+        and len(sequence) >= 512
         and field._mode != "python-calculate"
     ):
-        kern = _bm_kernel(field._meta, "jit-calculate", len(seq))
+        kern = _bm_kernel(field._meta, "jit-calculate", len(sequence))
         c_arr, L_dev = kern(sequence._data)
         L = int(L_dev)
         c = [int(v) for v in np.asarray(c_arr[: L + 1], dtype=np.int64)]
         return _bm_output(sequence, c, L, field, output)
 
     # Classic discrepancy/update form.
+    seq = [int(v) for v in np.asarray(sequence, dtype=object)]
     N = len(seq)
     c = [1]  # connection poly, ascending
     b = [1]

@@ -50,7 +50,10 @@ def _floordiv_kernel(meta: FieldMeta, mode: str, n: int, g_coeffs: tuple, ks: in
     return run
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: see codes/_decoder.py::make_decoder — a Euclidean gcd chain over
+# large dense polys shrinks degrees every iteration, so an unbounded cache
+# would pin one executable per degree pair and exhaust vm.max_map_count
+@functools.lru_cache(maxsize=64)
 def _divmod_kernel(meta: FieldMeta, mode: str, n: int, m: int):
     """Synthetic division of one descending (n,[w]) poly by a monic
     descending (m,[w]) divisor, as a lax.scan with a fixed trip count —

@@ -29,6 +29,10 @@ from ..ops._ntt import FFTPlan, _plan
 __all__ = ["sharded_fft", "sharded_batched_fft", "ShardedFFTPlan"]
 
 
+class ShardingUnsupportedError(ValueError):
+    """N cannot be 4-step sharded over this mesh axis (need D^2 | N)."""
+
+
 class ShardedFFTPlan:
     """Plan for a size-N field FFT sharded over `n_devices` devices."""
 
@@ -55,7 +59,9 @@ class ShardedFFTPlan:
             N1 *= 2
         N2 = N // N1
         if N1 % D or N2 % D:
-            raise ValueError(f"Cannot shard N={N} over {D} devices (need D^2 | N).")
+            raise ShardingUnsupportedError(
+                f"Cannot shard N={N} over {D} devices (need D^2 | N)."
+            )
         self.N1, self.N2 = N1, N2
 
         from ..fields._hostfield import get_host_field
@@ -206,12 +212,14 @@ def _transpose(Ml, D: int, axis: str):
     return jnp.transpose(slab, perm)
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: see codes/_decoder.py::make_decoder — each entry pins a compiled
+# executable; unbounded growth exhausts vm.max_map_count
+@functools.lru_cache(maxsize=32)
 def _sharded_plan(meta, N, omega, mode, mesh, axis):
     return ShardedFFTPlan(meta, N, omega, mode, mesh, axis)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _replicated_fallback_fn(meta, N, omega, mode, mesh, axis):
     """Graceful fallback when D^2 does not divide N (but D | N): all_gather
     the input, run the full single-device plan redundantly on every device,
@@ -318,9 +326,23 @@ def sharded_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool = False
         raise ValueError(f"N={N} must at least be divisible by the mesh axis size {D}.")
     try:
         plan = _sharded_plan(meta, N, omega, mode, mesh, axis)
-        out = plan(data)
-    except ValueError:
+    except ShardingUnsupportedError:
+        # Loud by design: the replicated path is correct but gives ZERO
+        # speedup (every device runs the full transform). Real ValueErrors
+        # from the sharded execution propagate — only the D^2 divisibility
+        # rejection routes here.
+        import warnings
+
+        warnings.warn(
+            f"sharded_fft: N={N} is not 4-step shardable over {D} devices "
+            f"(need D^2 | N); falling back to a REPLICATED transform with no "
+            f"speedup. Pick N with D^2 | N to scale.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         out = _replicated_fallback_fn(meta, N, omega, mode, mesh, axis)(data)
+    else:
+        out = plan(data)
     if inverse:
         n_inv = hf.reciprocal(N % meta.characteristic)
         ops = get_ops(meta, mode)
