@@ -98,7 +98,10 @@ class BCH(_CyclicCode):
             ext._mode if ext._mode != "python-calculate" else ext._meta.default_ufunc_mode,
             self.field.order,
             ns,
-            self._design_n(ns),
+            self.n,  # design_n: Chien scans the full parent-code length even
+            # when decoding a shortened (ns < n) codeword — error locators
+            # index positions of the parent code (reference feeds self.n,
+            # src/galois/_codes/_bch.py:726)
             self.d,
             self.c,
             int(self.alpha),
@@ -113,12 +116,6 @@ class BCH(_CyclicCode):
             out, n_errors = decoder(received, jnp.asarray(erasures))
         dec = self.field(np.asarray(out, dtype=np.int64) % self.field.order)
         return dec, np.asarray(n_errors)
-
-    def _design_n(self, ns: int) -> int:
-        # The Chien search must scan the full design length even for a
-        # shortened code (ns < n): error locators index positions of the
-        # parent code.
-        return self.n
 
     # ------------------------------------------------------------------
     @property

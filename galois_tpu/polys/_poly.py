@@ -197,6 +197,26 @@ class Poly:
     # ------------------------------------------------------------------
 
     @classmethod
+    def Like(cls, poly_like, field=None) -> "Poly":
+        """Construct a Poly from any PolyLike object (int => integer repr,
+        str => poly string, sequence/array => coefficients, Poly => itself).
+        Reference semantics: src/galois/_polys/_poly.py:134-169."""
+        from ..fields._array import FieldArray
+
+        if isinstance(poly_like, (int, np.integer)):
+            return cls.Int(int(poly_like), field=field)
+        if isinstance(poly_like, str):
+            return cls.Str(poly_like, field=field)
+        if isinstance(poly_like, (tuple, list, np.ndarray, FieldArray)):
+            return cls(poly_like, field=field)
+        if isinstance(poly_like, Poly):
+            return poly_like
+        raise TypeError(
+            f"A 'poly-like' object must be an int, str, tuple, list, np.ndarray, or Poly, "
+            f"not {type(poly_like)}."
+        )
+
+    @classmethod
     def Zero(cls, field=None) -> "Poly":
         return cls([0], field=field)
 

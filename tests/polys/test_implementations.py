@@ -93,3 +93,21 @@ def test_device_pow_matches_host(order, monkeypatch):
 
     assert dev_pow == host_pow
     assert dev_pow_mod == host_pow_mod
+
+
+def test_poly_like():
+    """Poly.Like accepts every PolyLike kind (reference:
+    src/galois/_polys/_poly.py:134-169)."""
+    import galois_tpu as g
+
+    F = g.GF(2**8)
+    assert g.Poly.Like(13) == g.Poly([1, 1, 0, 1])
+    assert g.Poly.Like("x^3 + x^2 + 1") == g.Poly([1, 1, 0, 1])
+    assert g.Poly.Like([1, 1, 0, 1]) == g.Poly([1, 1, 0, 1])
+    p = g.Poly([3, 0, 5], field=F)
+    assert g.Poly.Like(p) is p
+    assert g.Poly.Like(np.array([1, 0, 1])) == g.Poly([1, 0, 1])
+    assert g.Poly.Like(F([3, 0, 5])) == p
+    assert g.Poly.Like(13, field=F) == g.Poly.Int(13, field=F)
+    with pytest.raises(TypeError):
+        g.Poly.Like(3.14)
