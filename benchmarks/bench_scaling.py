@@ -72,16 +72,25 @@ def main():
     t1 = timeit(_fft_jit(plan1), xd)
     print(f"1-device NTT 2^{log2N}: {t1*1e3:.3f} ms ({1/t1:.0f} xforms/s)")
 
-    if D > 1:
-        mesh = Mesh(np.array(devices).reshape(D), ("x",))
-        splan = ShardedFFTPlan(F._meta, N, omega, "jit-calculate", mesh, "x")
+    # Sweep sub-meshes D = 2, 4, ... up to the device count. On a virtual
+    # CPU mesh every "device" shares the same physical cores, so the
+    # efficiency column measures ORCHESTRATION OVERHEAD ONLY (collective
+    # scheduling + layout churn), not real ICI scaling.
+    mesh = None
+    subD = 2
+    while subD <= D:
+        submesh = Mesh(np.array(devices[:subD]).reshape(subD), ("x",))
+        if subD == D:
+            mesh = submesh
+        splan = ShardedFFTPlan(F._meta, N, omega, "jit-calculate", submesh, "x")
         tD = timeit(splan, xd)
-        eff = t1 / (D * tD)
+        eff = t1 / (subD * tD)
         print(
-            f"{D}-device sharded NTT: {tD*1e3:.3f} ms "
+            f"{subD}-device sharded NTT: {tD*1e3:.3f} ms "
             f"(speedup {t1/tD:.2f}x, efficiency {eff*100:.0f}%)"
         )
-    else:
+        subD *= 2
+    if D == 1:
         print("single device only — run with a mesh for scaling numbers")
 
     # --- RS(255,223) decode scaling (embarrassingly parallel batch) ---

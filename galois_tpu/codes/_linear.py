@@ -60,7 +60,9 @@ class _LinearCode:
                 # object-array round trip.
                 import jax.numpy as jnp
 
-                axis = m2._data.ndim - 1 - self.field._storage_ndim()
+                axis = m2._data.ndim - 1 - (
+                    0 if self.field._storage_first() else self.field._storage_ndim()
+                )
                 data = jnp.concatenate([m2._data, parity._data], axis=axis)
                 out = self.field._view(data, m2._dtype)
         else:
@@ -81,8 +83,11 @@ class _LinearCode:
         # Nonzero test on the device storage array (zero is canonically
         # all-zero digits in every storage kind) — no host round trip.
         nz = syndrome._data != 0
-        for _ in range(1 + self.field._storage_ndim()):
-            nz = nz.any(axis=-1)
+        if self.field._storage_first():
+            nz = nz.any(axis=0)  # planar limb axis leads
+        elif self.field._storage_ndim():
+            nz = nz.any(axis=-1)  # trailing digit axis
+        nz = nz.any(axis=-1)  # symbol axis
         detected = np.asarray(nz)
         return bool(detected[0]) if is_1d else detected
 

@@ -60,7 +60,10 @@ def _raw_ops(meta: FieldMeta, mode: str):
 # ----------------------------------------------------------------------
 
 def _ints_to_storage_np(meta: FieldMeta, arr: np.ndarray) -> np.ndarray:
-    """NumPy array of int reprs (int64 or object) -> internal storage (NumPy)."""
+    """NumPy array of int reprs (int64 or object) -> internal storage (NumPy).
+
+    Digit storage is trailing-axis (..., m); limb storage is PLANAR with the
+    limb axis leading, (L, ...) — see fields/_meta.py on why."""
     if meta.storage == STORAGE_INT:
         return arr.astype(np.int64).astype(meta.internal_dtype)
     flat = arr.reshape(-1)
@@ -78,14 +81,16 @@ def _ints_to_storage_np(meta: FieldMeta, arr: np.ndarray) -> np.ndarray:
             for i in range(w):
                 out[:, i] = x & 0xFFFF
                 x = x >> 16
-        return out.reshape(arr.shape + (w,)).astype(meta.internal_dtype)
-    out = np.empty((flat.size, w), dtype=np.int64)
-    if meta.storage == STORAGE_DIGITS:
-        for i, x in enumerate(flat):
-            out[i] = meta.int_to_digits(int(x))
     else:
-        for i, x in enumerate(flat):
-            out[i] = int_to_limbs(int(x), w)
+        out = np.empty((flat.size, w), dtype=np.int64)
+        if meta.storage == STORAGE_DIGITS:
+            for i, x in enumerate(flat):
+                out[i] = meta.int_to_digits(int(x))
+        else:
+            for i, x in enumerate(flat):
+                out[i] = int_to_limbs(int(x), w)
+    if meta.storage_first:
+        return np.ascontiguousarray(out.T).reshape((w,) + arr.shape).astype(meta.internal_dtype)
     return out.reshape(arr.shape + (w,)).astype(meta.internal_dtype)
 
 
@@ -98,7 +103,12 @@ def _storage_to_ints(meta: FieldMeta, data: np.ndarray) -> np.ndarray:
     """Internal storage (as NumPy) -> int-repr array (int64 or object)."""
     if meta.storage == STORAGE_INT:
         return data.astype(np.int64)
-    flat = data.reshape(-1, meta.storage_width)
+    if meta.storage_first:
+        elem_shape = data.shape[1:]
+        flat = data.reshape(meta.storage_width, -1).T
+    else:
+        elem_shape = data.shape[:-1]
+        flat = data.reshape(-1, meta.storage_width)
     use_object = meta.order > 2**63
     if not use_object:
         # vectorized recombination fits int64
@@ -106,7 +116,7 @@ def _storage_to_ints(meta: FieldMeta, data: np.ndarray) -> np.ndarray:
             weights = meta.characteristic ** np.arange(meta.storage_width, dtype=np.int64)
         else:
             weights = (1 << (16 * np.arange(meta.storage_width))).astype(np.int64)
-        return (flat.astype(np.int64) * weights).sum(axis=1).reshape(data.shape[:-1])
+        return (flat.astype(np.int64) * weights).sum(axis=1).reshape(elem_shape)
     out = np.empty(flat.shape[0], dtype=object)
     if meta.storage == STORAGE_DIGITS:
         for i in range(flat.shape[0]):
@@ -114,12 +124,12 @@ def _storage_to_ints(meta: FieldMeta, data: np.ndarray) -> np.ndarray:
     else:
         for i in range(flat.shape[0]):
             out[i] = limbs_to_int(flat[i])
-    return out.reshape(data.shape[:-1])
+    return out.reshape(elem_shape)
 
 
-def _expand_index(index, ndim: int):
-    """Normalize an index so it applies to the leading `ndim` axes only
-    (keeping the trailing storage axis intact)."""
+def _expand_index(index, ndim: int, first: bool = False):
+    """Normalize an index so it applies to the element axes only, keeping
+    the storage axis (trailing for digits, leading for planar limbs) intact."""
     if not isinstance(index, tuple):
         index = (index,)
     if any(ix is Ellipsis for ix in index):
@@ -128,6 +138,8 @@ def _expand_index(index, ndim: int):
         n_specified = sum(1 for ix in index if ix is not None and ix is not Ellipsis)
         fill = (slice(None),) * (ndim - n_specified)
         index = index[:pos] + fill + index[pos + 1 :]
+    if first:
+        return (slice(None),) + index
     return index + (slice(None),)
 
 
@@ -365,7 +377,10 @@ class FieldArray(Array):
         data = _convert_to_storage(cls, x)
         if ndmin and data.ndim - cls._storage_ndim() < ndmin:
             extra = ndmin - (data.ndim - cls._storage_ndim())
-            data = data.reshape((1,) * extra + data.shape)
+            if cls._storage_first():
+                data = data.reshape(data.shape[:1] + (1,) * extra + data.shape[1:])
+            else:
+                data = data.reshape((1,) * extra + data.shape)
         self._data = data
         self._dtype = _validate_dtype(cls, dtype)
 
@@ -381,6 +396,11 @@ class FieldArray(Array):
     def _storage_ndim(cls) -> int:
         return 0 if cls._meta.storage == STORAGE_INT else 1
 
+    @classmethod
+    def _storage_first(cls) -> bool:
+        """True when the storage axis leads (planar limb layout)."""
+        return cls._meta.storage_first
+
     # ------------------------------------------------------------------
     # Alternate constructors (reference: _domains/_array.py:159-316,
     # _fields/_array.py:334-491)
@@ -389,15 +409,17 @@ class FieldArray(Array):
     @classmethod
     def Zeros(cls, shape, dtype=None) -> "FieldArray":
         shape = _as_shape(shape)
-        full = shape + ((cls._meta.storage_width,) if cls._storage_ndim() else ())
-        return cls._view(jnp.zeros(full, dtype=cls._meta.internal_dtype), _validate_dtype(cls, dtype))
+        return cls._view(
+            jnp.zeros(_full_shape(cls, shape), dtype=cls._meta.internal_dtype),
+            _validate_dtype(cls, dtype),
+        )
 
     @classmethod
     def Ones(cls, shape, dtype=None) -> "FieldArray":
         shape = _as_shape(shape)
         if cls._storage_ndim():
-            data = jnp.zeros(shape + (cls._meta.storage_width,), dtype=cls._meta.internal_dtype)
-            data = data.at[..., 0].set(1)
+            data = jnp.zeros(_full_shape(cls, shape), dtype=cls._meta.internal_dtype)
+            data = data.at[0].set(1) if cls._storage_first() else data.at[..., 0].set(1)
         else:
             data = jnp.ones(shape, dtype=cls._meta.internal_dtype)
         return cls._view(data, _validate_dtype(cls, dtype))
@@ -446,8 +468,11 @@ class FieldArray(Array):
             raise ValueError("Argument 'element' must be 0-D.")
         i = np.arange(rows).reshape(-1, 1) * np.arange(cols).reshape(1, -1)
         # V[i, j] = element^(i*j)
+        base = a._data
+        if cls._storage_first():
+            base = base.reshape(base.shape[:1] + (1, 1))
         flat = cls._dispatch("power")(
-            jnp.broadcast_to(a._data, _full_shape(cls, (rows, cols))),
+            jnp.broadcast_to(base, _full_shape(cls, (rows, cols))),
             jnp.asarray(i, dtype=jnp.int64),
         )
         return cls._view(flat, _validate_dtype(cls, dtype))
@@ -476,6 +501,8 @@ class FieldArray(Array):
     @property
     def shape(self) -> Tuple[int, ...]:
         s = self._data.shape
+        if self._storage_first():
+            return s[1:]
         return s[: len(s) - self._storage_ndim()]
 
     @property
@@ -502,21 +529,23 @@ class FieldArray(Array):
     def __getitem__(self, index) -> "FieldArray":
         cls = type(self)
         if self._storage_ndim():
-            index = _expand_index(index, self.ndim)
+            index = _expand_index(index, self.ndim, cls._storage_first())
         return cls._view(self._data[index], self._dtype)
 
     def __setitem__(self, index, value) -> None:
         cls = type(self)
         vdata = _convert_to_storage(cls, value)
         if self._storage_ndim():
-            index = _expand_index(index, self.ndim)
+            index = _expand_index(index, self.ndim, cls._storage_first())
         self._data = self._data.at[index].set(vdata)
 
     def reshape(self, *shape) -> "FieldArray":
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
         full = tuple(int(s) for s in shape)
-        if self._storage_ndim():
+        if self._storage_first():
+            full = (self._meta.storage_width,) + full
+        elif self._storage_ndim():
             full = full + (self._meta.storage_width,)
         return type(self)._view(self._data.reshape(full), self._dtype)
 
@@ -527,6 +556,9 @@ class FieldArray(Array):
 
     @property
     def T(self) -> "FieldArray":
+        if self._storage_first():
+            axes = (0,) + tuple(a + 1 for a in reversed(range(self.ndim)))
+            return type(self)._view(jnp.transpose(self._data, axes), self._dtype)
         if self._storage_ndim():
             axes = tuple(range(self.ndim))[::-1] + (self.ndim,)
             return type(self)._view(jnp.transpose(self._data, axes), self._dtype)
@@ -537,7 +569,9 @@ class FieldArray(Array):
             return self.T
         if len(axes) == 1 and isinstance(axes[0], (tuple, list)):
             axes = tuple(axes[0])
-        if self._storage_ndim():
+        if self._storage_first():
+            axes = (0,) + tuple(a + 1 for a in axes)
+        elif self._storage_ndim():
             axes = tuple(axes) + (self.ndim,)
         return type(self)._view(jnp.transpose(self._data, axes), self._dtype)
 
@@ -658,8 +692,9 @@ class FieldArray(Array):
                 _check_div_by_zero(self)
             if cls._mode == "python-calculate":
                 return cls._view(_python_power(cls._meta, np.asarray(self._data), e), self._dtype)
-            ops = _raw_ops(cls._meta, cls._mode)
-            out = jax.jit(lambda a: ops.power_static(a, e))(self._data)
+            from ..ops._kernels import power_static_jit
+
+            out = power_static_jit(cls._meta, cls._mode, e)(self._data)
             return cls._view(out, self._dtype)
         e = np.asarray(other)
         if isinstance(other, FieldArray) or (e.dtype != object and not np.issubdtype(e.dtype, np.integer)):
@@ -674,6 +709,15 @@ class FieldArray(Array):
             o = self._coerce(other)
         except (TypeError, ValueError):
             return NotImplemented
+        if self._storage_first():
+            # Planar storage: the leading limb axis must stay aligned while
+            # the ELEMENT axes broadcast trailing-relative — pad the lower-
+            # rank operand's element axes just after the limb axis.
+            a, b = self._data, o._data
+            nd = max(a.ndim, b.ndim)
+            a = a.reshape(a.shape[:1] + (1,) * (nd - a.ndim) + a.shape[1:])
+            b = b.reshape(b.shape[:1] + (1,) * (nd - b.ndim) + b.shape[1:])
+            return np.asarray(jnp.all(a == b, axis=0))
         if self._storage_ndim():
             return np.asarray(jnp.all(self._data == o._data, axis=-1))
         return np.asarray(self._data == o._data)
@@ -874,8 +918,8 @@ class FieldArray(Array):
                     digs.append(x % p)
                     x = x // p
             digits_desc = jnp.stack(digs[::-1], axis=-1)
-        elif p == 2:  # limbs storage, binary extension: bits across limbs
-            digs = [(d[..., i // 16] >> (i % 16)) & 1 for i in range(m)]
+        elif p == 2:  # planar limb storage, binary extension: bits across limbs
+            digs = [(d[i // 16] >> (i % 16)) & 1 for i in range(m)]
             digits_desc = jnp.stack(digs[::-1], axis=-1)
         else:  # limb-storage prime field: m == 1, the vector is the element
             assert m == 1
@@ -903,26 +947,31 @@ class FieldArray(Array):
         cls = type(self)
         data = self._data
         storage_nd = self._storage_ndim()
+        first = self._storage_first()
         ops = _raw_ops(cls._meta, cls._mode if cls._mode != "python-calculate" else cls._meta.default_ufunc_mode)
+        # Normalize so the reduction axis is the leading ELEMENT axis: data
+        # axis 0 for int/digit storage, data axis 1 under a planar limb axis.
+        r_ax = 1 if first else 0
         if axis is None:
-            flat = data.reshape((-1,) + data.shape[data.ndim - storage_nd :])
-            axis = 0
+            if first:
+                w = data.shape[0]
+                flat = data.reshape((w, -1))
+            else:
+                flat = data.reshape((-1,) + data.shape[data.ndim - storage_nd :])
         else:
-            flat = jnp.moveaxis(data, axis, 0)
-            axis = 0
+            flat = jnp.moveaxis(data, axis + (1 if first else 0), r_ax)
 
         @jax.jit
         def run(x):
-            n = x.shape[0]
             out = x
-            while out.shape[0] > 1:
-                half = out.shape[0] // 2
-                a = out[:half]
-                b = out[half : 2 * half]
-                rem = out[2 * half :]
+            while out.shape[r_ax] > 1:
+                half = out.shape[r_ax] // 2
+                a = jax.lax.slice_in_dim(out, 0, half, axis=r_ax)
+                b = jax.lax.slice_in_dim(out, half, 2 * half, axis=r_ax)
+                rem = jax.lax.slice_in_dim(out, 2 * half, out.shape[r_ax], axis=r_ax)
                 combined = getattr(ops, opname)(a, b)
-                out = jnp.concatenate([combined, rem], axis=0)
-            return out[0]
+                out = jnp.concatenate([combined, rem], axis=r_ax)
+            return jnp.squeeze(out, axis=r_ax)
 
         return cls._view(run(flat), self._dtype)
 
@@ -1101,7 +1150,9 @@ def _as_shape(shape) -> Tuple[int, ...]:
 
 
 def _full_shape(cls, shape) -> Tuple[int, ...]:
-    return shape + ((cls._meta.storage_width,) if cls._storage_ndim() else ())
+    if cls._storage_first():
+        return (cls._meta.storage_width,) + tuple(shape)
+    return tuple(shape) + ((cls._meta.storage_width,) if cls._storage_ndim() else ())
 
 
 def _validate_dtype(cls, dtype):
@@ -1143,6 +1194,13 @@ def _convert_to_storage(cls, x) -> jnp.ndarray:
         # int-storage fields. No host verification possible under trace.
         if meta.storage == STORAGE_INT:
             return x.astype(meta.internal_dtype)
+        if meta.storage_first:
+            if x.ndim >= 1 and x.shape[0] == meta.storage_width:
+                return x.astype(meta.internal_dtype)
+            raise ValueError(
+                f"jax.Array input to {cls.name} must have a LEADING (planar) "
+                f"limb axis of length {meta.storage_width}."
+            )
         if x.ndim >= 1 and x.shape[-1] == meta.storage_width:
             return x.astype(meta.internal_dtype)
         raise ValueError(
@@ -1209,7 +1267,7 @@ def _check_div_by_zero(x: "FieldArray"):
     if meta.storage == STORAGE_INT:
         any_zero = bool(jnp.any(data == 0))
     else:
-        any_zero = bool(jnp.any(jnp.all(data == 0, axis=-1)))
+        any_zero = bool(jnp.any(jnp.all(data == 0, axis=0 if meta.storage_first else -1)))
     if any_zero:
         raise ZeroDivisionError("Cannot compute the multiplicative inverse of 0 in a Galois field.")
 

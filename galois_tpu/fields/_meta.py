@@ -33,7 +33,14 @@ LOOKUP_TABLE_MAX_ORDER = 2**20
 # Storage kinds for device arrays.
 STORAGE_INT = "int"        # one unsigned integer per element
 STORAGE_DIGITS = "digits"  # (..., m) base-p digit vectors (odd p^m, order > 2^31)
-STORAGE_LIMBS = "limbs"    # (..., L) base-2^16 limb vectors (huge primes / GF(2^m), m > 32)
+STORAGE_LIMBS = "limbs"    # (L, ...) PLANAR base-2^16 limb vectors (huge primes / GF(2^m), m > 32)
+# Limb storage is planar (limb axis LEADING, little-endian): XLA maps the
+# trailing axis of an array onto the TPU's 128 vector lanes, so a trailing
+# limb axis of 4 runs every elementwise kernel at ~3% lane utilization.
+# With the limb axis leading, each limb plane is a full contiguous
+# (elem_shape) array and slicing a limb is free (measured ~15x on the
+# Goldilocks multiply). Digit storage keeps the trailing axis: digit fields
+# interact with MXU contractions that want the digit axis minor.
 
 LIMB_BITS = 16
 LIMB_BASE = 1 << LIMB_BITS
@@ -91,6 +98,10 @@ class FieldMeta:
             self.internal_dtype = np.uint16
             nbits = (q - 1).bit_length()
             self.storage_width = -(-nbits // LIMB_BITS)
+
+        # True when the storage axis leads (planar limb layout); False for
+        # trailing-axis digit storage and scalar int storage.
+        self.storage_first = self.storage == STORAGE_LIMBS
 
         # --- external dtypes (reference parity) ------------------------
         # Valid external dtypes are those that can hold order-1

@@ -83,7 +83,7 @@ def left_null_space(self):
     # null space (storage-array concatenate keeps device residency).
     import jax.numpy as jnp
 
-    axis = A._data.ndim - 1 - cls._storage_ndim()
+    axis = A._data.ndim - 1 - (0 if cls._storage_first() else cls._storage_ndim())
     AI = cls._view(jnp.concatenate([A._data, I._data], axis=axis), A._dtype)
     R = _linalg.row_reduce(AI, ncols=n)
     rank = _nonzero_row_count(R[:, :n])
@@ -138,8 +138,8 @@ def field_trace(self):
                 x = x // p
     elif meta.storage == "digits":
         digs = [d[..., i] for i in range(meta.degree)]
-    else:  # limbs: binary extension bits across base-2^16 limbs
-        digs = [(d[..., i // 16] >> (i % 16)) & 1 for i in range(meta.degree)]
+    else:  # planar limbs: binary extension bits across base-2^16 limb planes
+        digs = [(d[i // 16] >> (i % 16)) & 1 for i in range(meta.degree)]
     acc = None
     for i in range(meta.degree):
         c = int(t_vec[i])
@@ -183,8 +183,8 @@ def field_norm(self):
         out = d.astype(sub._meta.internal_dtype)  # value < p already
     elif meta.storage == "digits":
         out = d[..., 0].astype(sub._meta.internal_dtype)
-    else:  # limbs: binary extension, norm in GF(2) is bit 0 of limb 0
-        out = (d[..., 0] & 1).astype(sub._meta.internal_dtype)
+    else:  # planar limbs: binary extension, norm in GF(2) is bit 0 of plane 0
+        out = (d[0] & 1).astype(sub._meta.internal_dtype)
     return sub._view(out)
 
 
@@ -253,7 +253,10 @@ def _matrix_char_poly(A):
     n_sz = A.shape[0]
     from ..ops import _charpoly
 
-    if _charpoly.supports(cls._meta) and n_sz * n_sz > 4096 and cls._mode != "python-calculate":
+    # n >= 32 routes to device: host Berkowitz is O(n^4) Python ints
+    # (6.6 s at n=64) while the compiled kernel runs in ms and its one-time
+    # per-shape compile is ~1 s; below that the host loop wins first-call.
+    if _charpoly.supports(cls._meta) and n_sz >= 32 and cls._mode != "python-calculate":
         coeffs_asc = _charpoly.charpoly_data(cls._meta, cls._mode, A._data)
         return Poly(cls._view(coeffs_asc[::-1], A._dtype))
 

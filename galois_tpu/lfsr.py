@@ -23,53 +23,72 @@ from .polys._poly import Poly
 __all__ = ["FLFSR", "GLFSR", "berlekamp_massey"]
 
 
-def _field_dot(ops, a, b):
-    """Field dot product of two small 1-D (storage) arrays."""
-    prod = ops.multiply(a, b)
-    meta = ops.meta
-    axis = 0
-    out = prod
-    n = out.shape[0]
+def _field_dot(ops, a, b, ax: int):
+    """Field dot product of two small 1-D element arrays (element axis ax:
+    0 for int/digit storage, 1 for planar limb storage whose limb axis
+    leads)."""
+    out = ops.multiply(a, b)
+    n = out.shape[ax]
     while n > 1:
         half = n // 2
-        out = jnp.concatenate(
-            [ops.add(out[:half], out[half : 2 * half]), out[2 * half :]], axis=0
-        )
+        lo = jax.lax.slice_in_dim(out, 0, half, axis=ax)
+        hi = jax.lax.slice_in_dim(out, half, 2 * half, axis=ax)
+        rest = jax.lax.slice_in_dim(out, 2 * half, n, axis=ax)
+        out = jnp.concatenate([ops.add(lo, hi), rest], axis=ax)
         n = half + (n - 2 * half)
-    return out[0]
+    return jax.lax.index_in_dim(out, 0, axis=ax, keepdims=False)
 
 
 @functools.lru_cache(maxsize=None)
 def _step_kernel(meta: FieldMeta, mode: str, kind: str, direction: str, steps: int):
     ops = get_ops(meta, mode)
+    # Element axis of the raw storage arrays: planar limb storage keeps the
+    # limb axis LEADING, so its element axis is 1; int/digit storage lead
+    # with the element axis.
+    ax = 1 if meta.storage_first else 0
+
+    def _at(x, i):
+        return jax.lax.index_in_dim(x, i, axis=ax, keepdims=False)
+
+    def _sl(x, a, b):
+        return jax.lax.slice_in_dim(x, a, b, axis=ax)
+
+    def _exp(x):
+        return jnp.expand_dims(x, ax)
+
+    def _bcast_elem(f, like):
+        # broadcast a single element f across like's element axis
+        return jnp.broadcast_to(_exp(f), like.shape)
 
     def fib_fwd(state, taps):
         def tick(state, _):
-            f = _field_dot(ops, state, taps)
-            y = state[-1]
-            state = jnp.concatenate([f[None], state[:-1]], axis=0)
+            f = _field_dot(ops, state, taps, ax)
+            y = _at(state, state.shape[ax] - 1)
+            state = jnp.concatenate([_exp(f), _sl(state, 0, state.shape[ax] - 1)], axis=ax)
             return state, y
 
         return jax.lax.scan(tick, state, None, length=steps)
 
     def fib_bwd(state, taps):
         def tick(state, _):
-            f = state[0]
-            shifted = state[1:]
+            f = _at(state, 0)
+            shifted = _sl(state, 1, state.shape[ax])
             s = f
-            if shifted.shape[0] > 0:
-                s = ops.subtract(s, _field_dot(ops, shifted, taps[:-1]))
-            s = ops.multiply(s, ops.reciprocal(taps[-1]))
-            state = jnp.concatenate([shifted, s[None]], axis=0)
+            if shifted.shape[ax] > 0:
+                s = ops.subtract(s, _field_dot(ops, shifted, _sl(taps, 0, taps.shape[ax] - 1), ax))
+            s = ops.multiply(s, ops.reciprocal(_at(taps, taps.shape[ax] - 1)))
+            state = jnp.concatenate([shifted, _exp(s)], axis=ax)
             return state, s
 
         return jax.lax.scan(tick, state, None, length=steps)
 
     def gal_fwd(state, taps):
         def tick(state, _):
-            f = state[-1]
-            fx = ops.multiply(jnp.broadcast_to(f, taps.shape), taps)
-            shifted = jnp.concatenate([ops.zero_like(f)[None], state[:-1]], axis=0)
+            f = _at(state, state.shape[ax] - 1)
+            fx = ops.multiply(_bcast_elem(f, taps), taps)
+            shifted = jnp.concatenate(
+                [_exp(ops.zero_like(f)), _sl(state, 0, state.shape[ax] - 1)], axis=ax
+            )
             state = ops.add(shifted, fx)
             return state, f
 
@@ -77,10 +96,10 @@ def _step_kernel(meta: FieldMeta, mode: str, kind: str, direction: str, steps: i
 
     def gal_bwd(state, taps):
         def tick(state, _):
-            f = ops.multiply(state[0], ops.reciprocal(taps[0]))
-            fx = ops.multiply(jnp.broadcast_to(f, taps.shape), taps)
-            upper = ops.subtract(state[1:], fx[1:])
-            state = jnp.concatenate([upper, f[None]], axis=0)
+            f = ops.multiply(_at(state, 0), ops.reciprocal(_at(taps, 0)))
+            fx = ops.multiply(_bcast_elem(f, taps), taps)
+            upper = ops.subtract(_sl(state, 1, state.shape[ax]), _sl(fx, 1, fx.shape[ax]))
+            state = jnp.concatenate([upper, _exp(f)], axis=ax)
             return state, f
 
         return jax.lax.scan(tick, state, None, length=steps)
@@ -189,6 +208,10 @@ class _LFSR:
         mode = cls._mode if cls._mode != "python-calculate" else cls._meta.default_ufunc_mode
         kern = _step_kernel(cls._meta, mode, self._kind, direction, n)
         new_state, y = kern(self._state._data, self._taps._data)
+        if cls._meta.storage_first:
+            # lax.scan stacks per-step outputs on a NEW leading axis, giving
+            # (steps, w, ...); planar storage wants the limb axis leading.
+            y = jnp.moveaxis(y, 0, 1)
         self._state = cls._view(new_state, self._state._dtype)
         return cls._view(y, self._state._dtype)
 
@@ -273,7 +296,7 @@ def _bm_kernel(meta: FieldMeta, mode: str, n: int):
         def step(carry, t):
             c, b, L, m, bcoef = carry
             win = jax.lax.dynamic_slice(padded, (t,), (K,))
-            d = _field_dot(ops, c, win[::-1])  # sum_i c[i] * seq[t-i]
+            d = _field_dot(ops, c, win[::-1], 0)  # sum_i c[i] * seq[t-i]
             coef = ops.multiply(d, ops.reciprocal(bcoef))  # bcoef != 0 invariant
             # x^m * B(x): shift coefficients up by m, zero-fill below
             shifted = jnp.where(idx >= m, jnp.roll(b, m), jnp.zeros_like(b))

@@ -65,9 +65,11 @@ def _ntt_size(meta: FieldMeta, out_len: int):
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _convolve_data(meta: FieldMeta, mode: str, a, b):
     ops = get_ops(meta, mode)
-    storage_nd = 0 if meta.storage == STORAGE_INT else 1
-    n = a.shape[0]
-    m = b.shape[0]
+    # coefficient axis within the storage array: axis 1 under a planar
+    # leading limb axis, else axis 0
+    ax = 1 if meta.storage_first else 0
+    n = a.shape[ax]
+    m = b.shape[ax]
     if m > n:
         a, b = b, a
         n, m = m, n
@@ -106,15 +108,12 @@ def _convolve_data(meta: FieldMeta, mode: str, a, b):
         return (acc % p).astype(a.dtype)
 
     # Generic path: field multiply-accumulate of shifted copies.
-    out_shape = (n + m - 1,) + a.shape[1:]
-    acc = jnp.zeros(out_shape, dtype=a.dtype)
+    out_shape = list(a.shape)
+    out_shape[ax] = n + m - 1
+    acc = jnp.zeros(tuple(out_shape), dtype=a.dtype)
     for j in range(m):
-        bj = b[j] if storage_nd == 0 else b[j, :]
+        bj = b[:, j] if ax else b[j]
         prod = ops.multiply(a, bj)
-        if storage_nd == 0:
-            seg = jax.lax.dynamic_slice_in_dim(acc, j, n, axis=0)
-            acc = jax.lax.dynamic_update_slice_in_dim(acc, ops.add(seg, prod), j, axis=0)
-        else:
-            seg = jax.lax.dynamic_slice_in_dim(acc, j, n, axis=0)
-            acc = jax.lax.dynamic_update_slice_in_dim(acc, ops.add(seg, prod), j, axis=0)
+        seg = jax.lax.dynamic_slice_in_dim(acc, j, n, axis=ax)
+        acc = jax.lax.dynamic_update_slice_in_dim(acc, ops.add(seg, prod), j, axis=ax)
     return acc

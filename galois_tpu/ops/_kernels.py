@@ -239,8 +239,13 @@ class FieldOps:
         return self.one_like(t)
 
     def _elem_shape_t(self, t):
-        storage_nd = 0 if self.meta.storage == STORAGE_INT else 1
-        return t.shape[: t.ndim - storage_nd]
+        if isinstance(t, tuple):
+            return jnp.broadcast_shapes(*[x.shape for x in t])
+        if self.meta.storage == STORAGE_INT:
+            return t.shape
+        if self.meta.storage_first:  # planar limbs: leading storage axis
+            return t.shape[1:]
+        return t.shape[:-1]
 
     @staticmethod
     def tmap(f, *ts):
@@ -251,10 +256,17 @@ class FieldOps:
 
     def broadcast_elem_t(self, t, eshape):
         """Broadcast a limb-tuple (or storage array) to element shape eshape."""
-        storage_nd = 0 if self.meta.storage == STORAGE_INT else 1
         if isinstance(t, tuple):
             return tuple(jnp.broadcast_to(L, eshape) for L in t)
-        return jnp.broadcast_to(t, eshape + t.shape[t.ndim - storage_nd :])
+        if self.meta.storage == STORAGE_INT:
+            return jnp.broadcast_to(t, eshape)
+        if self.meta.storage_first:
+            # planar: pad element axes after the leading limb axis
+            w = t.shape[0]
+            pad = len(eshape) - (t.ndim - 1)
+            tt = t.reshape((w,) + (1,) * pad + t.shape[1:])
+            return jnp.broadcast_to(tt, (w,) + tuple(eshape))
+        return jnp.broadcast_to(t, tuple(eshape) + t.shape[t.ndim - 1 :])
 
     def power(self, a, e):
         """a**e with a (possibly signed) integer-array exponent.
@@ -270,20 +282,37 @@ class FieldOps:
         base = self._select(neg, inv_a, a)
         return self._pow_ladder(base, abs_e)
 
-    def power_words(self, a, words):
+    def power_words(self, a, words, nbits: int | None = None):
         """a**e where e = sum_i words[i] * 2^(63 i), each word a non-negative
-        int64 array. Supports exponents beyond 64 bits (the analogue of the
-        reference's 63-bit exponent word vectors,
-        src/galois/_polys/_dense.py:338-346). All loop carries go through
-        the limb-tuple protocol so limb fields keep full-lane layouts."""
-        result = None
+        int64 scalar/array. Supports exponents beyond 64 bits (the analogue
+        of the reference's 63-bit exponent word vectors,
+        src/galois/_polys/_dense.py:338-346).
+
+        ONE fori_loop over all bits with the current word dynamically
+        indexed — a per-word ladder plus inter-word square chains compiles
+        ~2 n_words separate loop bodies, which for 16-limb fields (a 255-bit
+        Fermat inversion) put LLVM into the tens of minutes. All loop
+        carries go through the limb-tuple protocol so limb fields keep
+        full-lane layouts."""
+        W = jnp.stack([jnp.asarray(w, dtype=jnp.int64) for w in words]).astype(jnp.uint64)
+        total = 63 * len(words) if nbits is None else nbits
         cur = self.split_limbs(a)
-        for w_idx, w in enumerate(words):
-            part = self._pow_ladder_t(cur, jnp.asarray(w, dtype=jnp.int64).astype(jnp.uint64), nbits=63)
-            result = part if result is None else self.multiply_t(result, part)
-            if w_idx < len(words) - 1:
-                # cur <- cur^(2^63), as a loop so the graph stays small
-                cur = jax.lax.fori_loop(0, 63, lambda i, c: self.square_t(c), cur)
+        # Words may be per-element exponent arrays: broadcast the carry to
+        # the joint element shape up front so the loop carry is shape-stable.
+        out_shape = jnp.broadcast_shapes(self._elem_shape_t(cur), W.shape[1:])
+        cur = self.broadcast_elem_t(cur, out_shape)
+        W = W.reshape(W.shape[:1] + (1,) * (len(out_shape) - (W.ndim - 1)) + W.shape[1:])
+        W = jnp.broadcast_to(W, W.shape[:1] + tuple(out_shape))
+
+        def body(i, carry):
+            result, b = carry
+            w = W[i // 63]
+            bit = ((w >> (i % 63).astype(jnp.uint64)) & 1).astype(bool)
+            result = self.select_t(bit, self.multiply_t(result, b), result)
+            return (result, self.square_t(b))
+
+        one = self.one_like_t(cur)
+        result, _ = jax.lax.fori_loop(0, total, body, (one, cur))
         return self.join_limbs(result)
 
     def power_static(self, a, e: int):
@@ -309,7 +338,7 @@ class FieldOps:
         while rem:
             words.append(jnp.asarray(rem & ((1 << 63) - 1), dtype=jnp.int64))
             rem >>= 63
-        return self.power_words(a, words)
+        return self.power_words(a, words, nbits=e.bit_length())
 
     def _pow_ladder(self, base, abs_e, nbits: int = 64):
         return self.join_limbs(self._pow_ladder_t(self.split_limbs(base), abs_e, nbits))
@@ -335,8 +364,10 @@ class FieldOps:
         return result
 
     def _select(self, mask, x, y):
-        """jnp.where with the mask broadcast over trailing storage axes."""
-        if self.meta.storage != STORAGE_INT:
+        """jnp.where with the mask aligned to the storage layout: expanded
+        over the trailing digit axis; planar limb arrays need no expansion
+        (the element-shaped mask right-aligns under the leading limb axis)."""
+        if self.meta.storage == STORAGE_DIGITS:
             mask = jnp.asarray(mask)[..., None]
         return jnp.where(mask, x, y)
 
@@ -434,6 +465,8 @@ class FieldOps:
     def _eq(self, a, b):
         if self.meta.storage == STORAGE_INT:
             return a == b
+        if self.meta.storage_first:
+            return jnp.all(a == b, axis=0)
         return jnp.all(a == b, axis=-1)
 
     def eq_t(self, a, b):
@@ -698,19 +731,16 @@ class BinaryExtOps(FieldOps):
         return self._reduce(self._clmul(a, b))
 
     def multiply_bulk(self, a, b):
-        # Opt-in (GALOIS_TPU_GF2M_SWAR_XLA=1): large standalone u8 multiplies
-        # via the SWAR core on bitcast u32 lanes — 4 elements/lane, ~3x fewer
-        # VPU ops than the mask ladder, in plain XLA (no Pallas fusion
-        # barrier). Composite kernels keep the fusable `multiply`.
-        # NOTE: the flag is read at TRACE time; a shape traced before the
-        # flag changes replays its cached executable (set the flag before
-        # first use — it is a measurement knob, not a runtime switch).
-        import os
-
+        # Default on TPU: large standalone u8 multiplies via the SWAR core
+        # on bitcast u32 lanes — 4 elements/lane, ~3x fewer VPU ops than the
+        # mask ladder, in plain XLA (no Pallas fusion barrier). Composite
+        # kernels keep the fusable `multiply`. On CPU the scalar backend
+        # loses from the extra bitcasts (measured 0.59 vs 1.24 Gops/s), so
+        # the routing keys on the backend (stable per process, trace-safe).
         if (
             self.m <= 8
-            and os.environ.get("GALOIS_TPU_GF2M_SWAR_XLA")
             and max(a.size, b.size) >= (1 << 12)
+            and jax.default_backend() == "tpu"
         ):
             from ._pallas._elementwise import _swar_mul_core
 
@@ -972,7 +1002,12 @@ class LimbPrimeOps(FieldOps):
     """GF(p) for p >= 2^32: little-endian base-2^16 limb vectors, Barrett
     reduction with host-precomputed mu. All intermediates in u32 lanes —
     limb products split into 16-bit lo/hi columns (column sums stay < 2^22),
-    so no emulated 64-bit integer op appears anywhere."""
+    so no emulated 64-bit integer op appears anywhere.
+
+    Storage is PLANAR: arrays are (L, *elem_shape), so every limb plane is a
+    full contiguous array riding the TPU's 128-lane axis; all arithmetic
+    runs on tuples of u32 planes (the limb-tuple protocol), with split/join
+    at the storage boundary reduced to free major-axis slices / one stack."""
 
     def __init__(self, meta: FieldMeta):
         super().__init__(meta)
@@ -986,129 +1021,235 @@ class LimbPrimeOps(FieldOps):
         self.dt = jnp.dtype(meta.internal_dtype)
         self.MASK = (1 << LIMB_BITS) - 1
 
-    def _u32(self, a):
-        return a.astype(jnp.uint32)
+    # -- planar limb-tuple protocol --------------------------------------
 
-    def _carry_norm(self, c):
-        """Propagate carries so all limbs are < 2^16. c: (..., K) u32 with
-        limbs holding sums of 16-bit quantities (< 2^22)."""
-        K = c.shape[-1]
+    def split_limbs(self, a):
+        return tuple(a[k].astype(jnp.uint32) for k in range(self.L))
+
+    def join_limbs(self, t):
+        shape = jnp.broadcast_shapes(*[x.shape for x in t])
+        return jnp.stack([jnp.broadcast_to(x, shape) for x in t], axis=0).astype(self.dt)
+
+    def one_like_t(self, t):
+        z = jnp.zeros_like(t[0])
+        return (jnp.ones_like(t[0]),) + (z,) * (len(t) - 1)
+
+    def select_t(self, mask, x, y):
+        mask = jnp.asarray(mask)
+        return tuple(jnp.where(mask, xk, yk) for xk, yk in zip(x, y))
+
+    def eq_t(self, a, b):
+        r = a[0] == b[0]
+        for ak, bk in zip(a[1:], b[1:]):
+            r = r & (ak == bk)
+        return r
+
+    def _bcast2_t(self, a, b):
+        shape = jnp.broadcast_shapes(
+            jnp.broadcast_shapes(*[x.shape for x in a]),
+            jnp.broadcast_shapes(*[x.shape for x in b]),
+        )
+        d = [jnp.broadcast_to(x, shape).astype(jnp.uint32) for x in a]
+        e = [jnp.broadcast_to(x, shape).astype(jnp.uint32) for x in b]
+        return d, e, shape
+
+    def _carry_norm_t(self, cols):
+        """Propagate carries so all planes are < 2^16. cols: list of u32
+        planes holding sums of 16-bit quantities (< 2^22)."""
         out = []
-        carry = jnp.zeros(c.shape[:-1], dtype=jnp.uint32)
-        for k in range(K):
-            v = c[..., k] + carry
+        carry = jnp.zeros(jnp.broadcast_shapes(*[c.shape for c in cols]), jnp.uint32)
+        for c in cols:
+            v = c + carry
             out.append(v & self.MASK)
             carry = v >> LIMB_BITS
-        return jnp.stack(out, axis=-1)
+        return out
 
-    def _mul_full(self, a, b):
-        """Schoolbook product -> 2L carry-normalized limbs (u32 columns)."""
+    def _mul_full_t(self, a, b):
+        """Schoolbook product -> 2L carry-normalized limb planes (u32).
+
+        Small L keeps the fused elementwise double loop (O(L^2) tiny ops,
+        XLA fuses them). Large L folds the anti-diagonals with one exact
+        int8 MXU matmul instead: the unrolled loop is ~4 L^2 HLO ops PER
+        MULTIPLY, and a 16-limb Fermat pow ladder (reciprocal of a 255-bit
+        prime) made LLVM spin for tens of minutes compiling the scan body.
+        """
         L = self.L
-        aw, bw = self._u32(a), self._u32(b)
-        shape = jnp.broadcast_shapes(aw.shape[:-1], bw.shape[:-1])
-        LO = jnp.uint32(self.MASK)
-        c = jnp.zeros(shape + (2 * L,), dtype=jnp.uint32)
+        d, e, shape = self._bcast2_t(a, b)
+        if L <= 4:
+            zero = jnp.zeros(shape, jnp.uint32)
+            cols = [zero] * (2 * L)
+            for i in range(L):
+                for j in range(L):
+                    prod = d[i] * e[j]  # 16x16 -> 32, native
+                    k = i + j
+                    cols[k] = cols[k] + (prod & self.MASK)
+                    cols[k + 1] = cols[k + 1] + (prod >> LIMB_BITS)
+                    # column sums <= 2L * (2^16 - 1) < 2^22 for L <= 32
+            return self._carry_norm_t(cols)
+        D = jnp.stack(d)  # (L, *shape)
+        E = jnp.stack(e)
+        P = D[:, None] * E[None, :]  # (L, L, *shape) u32, < 2^32
+        cols = self._fold_diagonals(P, shape, self._mul_full_fold)
+        return self._carry_norm_t(cols)
+
+    @functools.cached_property
+    def _mul_full_fold(self):
+        """(2L, 2L^2) 0/1 int8 host matrix folding [lo planes; hi planes]
+        of the (L, L) outer product onto anti-diagonal columns k = i + j
+        (lo) and k = i + j + 1 (hi)."""
+        L = self.L
+        M = np.zeros((2 * L, 2 * L * L), dtype=np.int8)
         for i in range(L):
-            prod = aw[..., i : i + 1] * bw  # 16x16 -> 32, native
-            c = c.at[..., i : i + L].add(prod & LO)
-            c = c.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
-            # column sums <= 2L * (2^16 - 1) < 2^22 — no mid-loop norm needed
-        return self._carry_norm(c)
+            for j in range(L):
+                M[i + j, i * L + j] = 1
+                M[i + j + 1, L * L + i * L + j] = 1
+        return M
 
-    def _mul_const(self, a, const_limbs: np.ndarray):
-        """a (limbs) times a static limb constant -> carry-normalized."""
+    def _fold_diagonals(self, P, shape, M: np.ndarray):
+        """Sum u32 products (< 2^32) over anti-diagonals with exact 7-bit
+        int8 -> int32 MXU matmuls (same plane trick as ops/_limb_matmul.py).
+        P: (T, *shape) after splitting lo/hi; M: (ncols, 2T) host 0/1."""
+        T = P.shape[0] * P.shape[1] if P.ndim - len(shape) == 2 else P.shape[0]
+        flat = P.reshape(T, -1)
+        G = jnp.concatenate([flat & self.MASK, flat >> LIMB_BITS], axis=0)  # (2T, N) < 2^16
+        Mj = jnp.asarray(M)
+        acc = None
+        for pl in range(3):  # 16 bits -> three 7-bit planes
+            g = ((G >> (7 * pl)) & 127).astype(jnp.int8)
+            c = jnp.matmul(Mj, g, preferred_element_type=jnp.int32).astype(jnp.uint32)
+            acc = c << (7 * pl) if acc is None else acc + (c << (7 * pl))
+        # row sums <= 2L * (2^16 - 1) < 2^22: carry_norm's invariant holds
+        return [acc[k].reshape(shape) for k in range(M.shape[0])]
+
+    def _mul_const_t(self, a, const_limbs: np.ndarray):
+        """a (limb planes) times a static limb constant -> carry-normalized."""
         K = len(const_limbs)
-        aw = self._u32(a)
-        L = aw.shape[-1]
-        LO = jnp.uint32(self.MASK)
-        c = jnp.zeros(aw.shape[:-1] + (L + K,), dtype=jnp.uint32)
-        for j, cj in enumerate(const_limbs):
-            cj = int(cj)
-            if cj:
-                prod = aw * jnp.uint32(cj)
-                c = c.at[..., j : j + L].add(prod & LO)
-                c = c.at[..., j + 1 : j + L + 1].add(prod >> LIMB_BITS)
-        return self._carry_norm(c)
+        L = len(a)
+        aw = [x.astype(jnp.uint32) for x in a]
+        shape = jnp.broadcast_shapes(*[x.shape for x in aw])
+        if L <= 4:
+            zero = jnp.zeros(shape, jnp.uint32)
+            cols = [zero] * (L + K)
+            for j, cj in enumerate(const_limbs):
+                cj = int(cj)
+                if cj:
+                    for i in range(L):
+                        prod = aw[i] * jnp.uint32(cj)
+                        cols[i + j] = cols[i + j] + (prod & self.MASK)
+                        cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
+            return self._carry_norm_t(cols)
+        A = jnp.stack([jnp.broadcast_to(x, shape) for x in aw])  # (L, *shape)
+        C = jnp.asarray(np.asarray(const_limbs, dtype=np.uint32))
+        P = A[:, None] * C[None, :].reshape((1, K) + (1,) * len(shape))  # (L, K, *shape)
+        M = np.zeros((L + K, 2 * L * K), dtype=np.int8)
+        for i in range(L):
+            for j in range(K):
+                M[i + j, i * K + j] = 1
+                M[i + j + 1, L * K + i * K + j] = 1
+        cols = self._fold_diagonals(P, shape, M)
+        return self._carry_norm_t(cols)
 
-    def _sub_limbs(self, r, sub, K: int):
-        """r - sub with borrow chains over K normalized u32 limbs; sub may be
-        a list of static ints or a limb array. Returns (diff, final borrow)."""
-        borrow = jnp.zeros(r.shape[:-1], dtype=jnp.uint32)
+    def _sub_limbs_t(self, r, sub, K: int):
+        """r - sub with borrow chains over K normalized u32 planes; sub may
+        be a list of static ints or planes. Returns (diff planes, borrow)."""
+        borrow = jnp.zeros(jnp.broadcast_shapes(*[x.shape for x in r]), jnp.uint32)
         diff = []
         for k in range(K):
-            sk = sub[k] if isinstance(sub, (list, np.ndarray)) else sub[..., k]
+            sk = sub[k]
             t = (jnp.uint32(int(sk)) if isinstance(sk, (int, np.integer)) else sk) + borrow
-            rk = r[..., k]
+            rk = r[k]
             b_out = rk < t
             diff.append((rk - t) & self.MASK)
             borrow = b_out.astype(jnp.uint32)
-        return jnp.stack(diff, axis=-1), borrow
+        return diff, borrow
 
-    def _sub_if_ge(self, r, modulus_limbs):
-        """r - modulus if r >= modulus else r. r: (..., K) normalized limbs;
+    def _sub_if_ge_t(self, r, modulus_limbs):
+        """r - modulus if r >= modulus else r, over K normalized planes;
         modulus zero-extended to K (host ints, static)."""
-        K = r.shape[-1]
+        K = len(r)
         mod = [0] * K
         for k, v in enumerate(np.asarray(modulus_limbs)):
             mod[k] = int(v)
-        diff, borrow = self._sub_limbs(r, mod, K)
+        diff, borrow = self._sub_limbs_t(r, mod, K)
         ge = borrow == 0
-        return jnp.where(ge[..., None], diff, r)
+        return [jnp.where(ge, df, rr) for df, rr in zip(diff, r)]
 
-    def _barrett(self, x):
-        """x (2L limbs, normalized) mod p -> L limbs. HAC Alg 14.42, b=2^16, k=L."""
+    def _barrett_t(self, x):
+        """x (2L normalized planes) mod p -> L planes. HAC Alg 14.42, b=2^16."""
         L = self.L
-        # q1 = floor(x / b^(L-1)) : limbs L-1 .. 2L-1 (L+1 limbs)
-        q1 = x[..., L - 1 :]
-        # q2 = q1 * mu (mu has L+1 limbs) -> up to 2L+2 limbs
-        q2 = self._mul_const(q1, self.mu_limbs)
+        # q1 = floor(x / b^(L-1)) : limbs L-1 .. 2L-1 (L+1 planes)
+        q1 = x[L - 1 :]
+        # q2 = q1 * mu (mu has L+1 limbs) -> up to 2L+2 planes
+        q2 = self._mul_const_t(q1, self.mu_limbs)
         # q3 = floor(q2 / b^(L+1))
-        q3 = q2[..., L + 1 :]
+        q3 = q2[L + 1 :]
         # r1 = x mod b^(L+1)
-        r1 = x[..., : L + 1]
+        r1 = x[: L + 1]
         # r2 = (q3 * p) mod b^(L+1)
-        q3p = self._mul_const(q3, np.asarray(self.p_limbs))
-        r2 = q3p[..., : L + 1]
+        q3p = self._mul_const_t(q3, np.asarray(self.p_limbs))
+        r2 = q3p[: L + 1]
         # r = r1 - r2 (mod b^(L+1)); result in [0, 3p)
-        r, _ = self._sub_limbs(r1, r2, L + 1)
+        r, _ = self._sub_limbs_t(r1, r2, L + 1)
         # at most 2 conditional subtracts
-        r = self._sub_if_ge(r, self.p_limbs)
-        r = self._sub_if_ge(r, self.p_limbs)
-        return r[..., :L].astype(self.dt)
+        r = self._sub_if_ge_t(r, self.p_limbs)
+        r = self._sub_if_ge_t(r, self.p_limbs)
+        return tuple(r[: self.L])
 
-    def multiply(self, a, b):
-        return self._barrett(self._mul_full(a, b))
+    def multiply_t(self, a, b):
+        return self._barrett_t(self._mul_full_t(a, b))
 
-    def add(self, a, b):
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        s = self._carry_norm(
-            jnp.concatenate(
-                [
-                    self._u32(a) + self._u32(b),
-                    jnp.zeros(shape + (1,), jnp.uint32),
-                ],
-                axis=-1,
-            )
-        )
-        s = self._sub_if_ge(s, self.p_limbs)
-        return s[..., : self.L].astype(self.dt)
+    def square_t(self, a):
+        return self.multiply_t(a, a)
 
-    def negative(self, a):
+    def add_t(self, a, b):
+        d, e, shape = self._bcast2_t(a, b)
+        s = self._carry_norm_t([dk + ek for dk, ek in zip(d, e)] + [jnp.zeros(shape, jnp.uint32)])
+        s = self._sub_if_ge_t(s, self.p_limbs)
+        return tuple(s[: self.L])
+
+    def negative_t(self, a):
         # p - a, with 0 -> 0
-        borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+        aw = [x.astype(jnp.uint32) for x in a]
+        shape = jnp.broadcast_shapes(*[x.shape for x in aw])
+        borrow = jnp.zeros(shape, jnp.uint32)
         out = []
-        aw = self._u32(a)
+        zero_mask = self.is_zero_t(a)
         for k in range(self.L):
-            t = aw[..., k] + borrow
+            t = aw[k] + borrow
             pk = jnp.uint32(int(self.p_limbs[k]))
             b_out = pk < t
             out.append((pk - t) & self.MASK)
             borrow = b_out.astype(jnp.uint32)
-        neg = jnp.stack(out, axis=-1).astype(self.dt)
-        return jnp.where(self.is_zero(a)[..., None], a, neg)
+        return tuple(
+            jnp.where(zero_mask, jnp.broadcast_to(ak, shape), nk) for ak, nk in zip(aw, out)
+        )
+
+    def subtract_t(self, a, b):
+        return self.add_t(a, self.negative_t(b))
+
+    def is_zero_t(self, a):
+        r = a[0] == 0
+        for ak in a[1:]:
+            r = r & (ak == 0)
+        return r
+
+    # -- planar-storage entry points: split, compute, join. XLA cancels
+    # adjacent join/split pairs between chained ops.
+
+    def multiply(self, a, b):
+        return self.join_limbs(self.multiply_t(self.split_limbs(a), self.split_limbs(b)))
+
+    def add(self, a, b):
+        return self.join_limbs(self.add_t(self.split_limbs(a), self.split_limbs(b)))
 
     def subtract(self, a, b):
-        return self.add(a, self.negative(b))
+        return self.join_limbs(self.subtract_t(self.split_limbs(a), self.split_limbs(b)))
+
+    def negative(self, a):
+        return self.join_limbs(self.negative_t(self.split_limbs(a)))
+
+    def square(self, a):
+        return self.join_limbs(self.square_t(self.split_limbs(a)))
 
     def power_static(self, a, e: int):
         # Large static exponents use the compact ladder (small XLA graph);
@@ -1122,26 +1263,28 @@ class LimbPrimeOps(FieldOps):
 
     def one_like(self, a):
         one = jnp.zeros_like(a)
-        return one.at[..., 0].set(1)
+        return one.at[0].set(1)
 
     def zero_like(self, a):
         return jnp.zeros_like(a)
 
     def is_zero(self, a):
-        return jnp.all(a == 0, axis=-1)
+        return jnp.all(a == 0, axis=0)
 
     def _repr_le(self, a, b):
-        le = jnp.ones(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=bool)
+        le = jnp.ones(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=bool)
         decided = jnp.zeros_like(le)
         for i in range(self.L - 1, -1, -1):
-            ai, bi = a[..., i], b[..., i]
+            ai, bi = a[i], b[i]
             le = jnp.where(decided, le, jnp.where(ai != bi, ai < bi, le))
             decided = jnp.logical_or(decided, ai != bi)
         return le
 
 
 class LimbBinaryOps(FieldOps):
-    """GF(2^m) for m > 32: bit-limb carry-less arithmetic."""
+    """GF(2^m) for m > 32: bit-limb carry-less arithmetic on PLANAR
+    (L, *elem_shape) storage — the scan carries are (PL, ...) stacks whose
+    leading limb axis never touches the 128-lane minor axis."""
 
     def __init__(self, meta: FieldMeta):
         super().__init__(meta)
@@ -1161,7 +1304,7 @@ class LimbBinaryOps(FieldOps):
         return a
 
     def _get_bit(self, x, i):
-        return (x[..., i // LIMB_BITS] >> (i % LIMB_BITS)) & 1
+        return (x[i // LIMB_BITS] >> (i % LIMB_BITS)) & 1
 
     def multiply(self, a, b):
         """Carry-less multiply + reduction, both as lax.scan so the XLA graph
@@ -1169,11 +1312,10 @@ class LimbBinaryOps(FieldOps):
         m, L, PL = self.m, self.L, self.PL
         aw = a.astype(jnp.uint32)
         bw = b.astype(jnp.uint32)
-        shape = jnp.broadcast_shapes(aw.shape[:-1], bw.shape[:-1])
-        acc = jnp.zeros(shape + (PL,), dtype=jnp.uint32)
-        sa = jnp.zeros(shape + (PL,), dtype=jnp.uint32)
-        sa = sa.at[..., :L].set(jnp.broadcast_to(aw, shape + (L,)))
-        bwb = jnp.broadcast_to(bw, shape + (L,))
+        shape = jnp.broadcast_shapes(aw.shape[1:], bw.shape[1:])
+        acc = jnp.zeros((PL,) + shape, dtype=jnp.uint32)
+        sa = acc.at[:L].set(jnp.broadcast_to(aw, (L,) + shape))
+        bwb = jnp.broadcast_to(bw, (L,) + shape)
 
         word_idx = jnp.asarray(np.arange(m) // LIMB_BITS)
         bit_sh = jnp.asarray(np.arange(m) % LIMB_BITS, dtype=np.uint32)
@@ -1181,12 +1323,12 @@ class LimbBinaryOps(FieldOps):
         def mul_step(carry, xs):
             acc, sa = carry
             wi, sh = xs
-            word = jnp.take(bwb, wi, axis=-1)
+            word = jnp.take(bwb, wi, axis=0)
             mask = jnp.uint32(0) - ((word >> sh) & 1)  # all-ones select, no mult
-            acc = acc ^ (sa & mask[..., None])
+            acc = acc ^ (sa & mask)
             hi = sa >> (LIMB_BITS - 1)
             sa2 = (sa << 1) & self.MASK
-            sa2 = sa2.at[..., 1:].set(sa2[..., 1:] | hi[..., :-1])
+            sa2 = sa2.at[1:].set(sa2[1:] | hi[:-1])
             return (acc, sa2), None
 
         (acc, _), _ = jax.lax.scan(mul_step, (acc, sa), (word_idx, bit_sh))
@@ -1197,15 +1339,17 @@ class LimbBinaryOps(FieldOps):
         consts = np.stack([np.asarray(int_to_limbs(f << (i - m), PL)) for i in idxs]).astype(np.uint32)
         r_word = jnp.asarray([i // LIMB_BITS for i in idxs])
         r_sh = jnp.asarray([np.uint32(i % LIMB_BITS) for i in idxs], dtype=jnp.uint32)
+        elem_nd = len(shape)
 
         def red_step(acc, xs):
             const, wi, sh = xs
-            word = jnp.take(acc, wi, axis=-1)
+            word = jnp.take(acc, wi, axis=0)
             mask = jnp.uint32(0) - ((word >> sh) & 1)
-            return acc ^ (const & mask[..., None]), None
+            const = const.reshape((PL,) + (1,) * elem_nd)
+            return acc ^ (const & mask), None
 
         acc, _ = jax.lax.scan(red_step, acc, (jnp.asarray(consts), r_word, r_sh))
-        return acc[..., : self.L].astype(self.dt)
+        return acc[: self.L].astype(self.dt)
 
     def square(self, a):
         return self.multiply(a, a)
@@ -1224,19 +1368,19 @@ class LimbBinaryOps(FieldOps):
 
     def one_like(self, a):
         one = jnp.zeros_like(a)
-        return one.at[..., 0].set(1)
+        return one.at[0].set(1)
 
     def zero_like(self, a):
         return jnp.zeros_like(a)
 
     def is_zero(self, a):
-        return jnp.all(a == 0, axis=-1)
+        return jnp.all(a == 0, axis=0)
 
     def _repr_le(self, a, b):
-        le = jnp.ones(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=bool)
+        le = jnp.ones(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=bool)
         decided = jnp.zeros_like(le)
         for i in range(self.L - 1, -1, -1):
-            ai, bi = a[..., i], b[..., i]
+            ai, bi = a[i], b[i]
             le = jnp.where(decided, le, jnp.where(ai != bi, ai < bi, le))
             decided = jnp.logical_or(decided, ai != bi)
         return le
@@ -1302,69 +1446,36 @@ class GoldilocksOps(LimbPrimeOps):
         return self._cond_sub_p_t(digs)
 
     # -- limb-tuple protocol (the native form of every Goldilocks kernel).
-    # The (..., 4) minor-axis storage maps limbs onto TPU lanes at 4/128
-    # utilization; computing on a tuple of full-lane int32 arrays instead
-    # runs ~3.5x faster, and XLA cancels adjacent join/split pairs so
-    # chained ops and loop carries stay in the fast layout throughout.
+    # Storage is planar (4, *elem): each limb plane is a full-lane int32
+    # array, so split/join are free major-axis slices / one stack, and
+    # XLA cancels adjacent join/split pairs so chained ops and loop
+    # carries stay in the fast layout throughout.
 
     def split_limbs(self, a):
-        return tuple(a[..., k].astype(jnp.int32) for k in range(4))
+        return tuple(a[k].astype(jnp.int32) for k in range(4))
 
     def join_limbs(self, t):
-        return jnp.stack(t, axis=-1).astype(self.dt)
+        shape = jnp.broadcast_shapes(*[x.shape for x in t])
+        return jnp.stack([jnp.broadcast_to(x, shape) for x in t], axis=0).astype(self.dt)
 
     def one_like_t(self, t):
         z = jnp.zeros_like(t[0])
         return (jnp.ones_like(t[0]), z, z, z)
 
-    def _elem_shape_t(self, t):
-        return t[0].shape
-
-    def select_t(self, mask, x, y):
-        mask = jnp.asarray(mask)
-        return tuple(jnp.where(mask, xk, yk) for xk, yk in zip(x, y))
-
-    def eq_t(self, a, b):
-        r = a[0] == b[0]
-        for ak, bk in zip(a[1:], b[1:]):
-            r = r & (ak == bk)
-        return r
-
-    def _bcast2_t(self, a, b):
-        shape = jnp.broadcast_shapes(a[0].shape, b[0].shape)
-        d = [jnp.broadcast_to(x, shape).astype(jnp.uint32) for x in a]
-        e = [jnp.broadcast_to(x, shape).astype(jnp.uint32) for x in b]
-        return d, e, shape
-
     def multiply_t(self, a, b):
+        # All-u32 16x16->32 products. An f32-pair variant (8-bit halves,
+        # exact in f32) was probed in rounds 2-3 and lost to this path on
+        # both CPU and TPU (bench.py keeps the experiment as
+        # goldilocks_mul_f32_chain_gops); the former env knob is gone.
         d, e, shape = self._bcast2_t(a, b)
         zero = jnp.zeros(shape, jnp.uint32)
         cols = [zero] * 8
-        import os
-
-        if os.environ.get("GALOIS_TPU_GOLDILOCKS_F32"):
-            # Opt-in: the 16 u32 16x16 products as exact f32 pairs
-            # (d < 2^16 times 8-bit halves of e: products < 2^24, exact in
-            # f32). Moves the multiply load to the native f32 units; read at
-            # TRACE time (measurement knob, set before first use).
-            df = [v.astype(jnp.float32) for v in d]
-            el = [(v & jnp.uint32(0xFF)).astype(jnp.float32) for v in e]
-            eh = [(v >> 8).astype(jnp.float32) for v in e]
-            for i in range(4):
-                for j in range(4):
-                    plo = (df[i] * el[j]).astype(jnp.uint32)
-                    phi = (df[i] * eh[j]).astype(jnp.uint32)
-                    prod = plo + (phi << 8)
-                    k = i + j
-                    cols[k] = cols[k] + (prod & 0xFFFF)
-                    cols[k + 1] = cols[k + 1] + (prod >> 16)
-        else:
-            for i in range(4):
-                for j in range(4):
-                    prod = d[i] * e[j]  # native 16x16 -> 32
-                    k = i + j
-                    cols[k] = cols[k] + (prod & 0xFFFF)
-                    cols[k + 1] = cols[k + 1] + (prod >> 16)
+        for i in range(4):
+            for j in range(4):
+                prod = d[i] * e[j]  # native 16x16 -> 32
+                k = i + j
+                cols[k] = cols[k] + (prod & 0xFFFF)
+                cols[k + 1] = cols[k + 1] + (prod >> 16)
         g = []
         carry = zero
         for k in range(8):
@@ -1450,11 +1561,20 @@ class GoldilocksOps(LimbPrimeOps):
 
 class LookupOps:
     """Mixin-style wrapper: EXP/LOG-table gathers for mul/div/recip/pow/log;
-    everything else delegates to the calculate ops."""
+    everything else delegates to the calculate ops.
 
-    # On TPU, XLA lowers these table gathers ~1000x off pace; arrays above
-    # this size (and tables small enough for chunked VMEM gathers) route to
-    # the Pallas lookup kernels instead (ops/_pallas/_elementwise.py).
+    TPU routing: XLA lowers table gathers ~1000x off pace, so on TPU
+    - orders <= 2^12 with large arrays ride the Pallas chunked-VMEM gather
+      kernels (ops/_pallas/_elementwise.py; measured 343x over XLA's
+      lowering for GF(2^8));
+    - orders in (2^12, 2^20] — the reference's lookup ceiling,
+      src/galois/_domains/_meta.py:39-48 — auto-route to the calculate
+      kernels, which are strictly faster there than any gather formulation
+      (the Pallas chunk-select tree is O(order/128) per element block).
+      Lookup mode is a performance mode; results are identical.
+    On CPU the XLA gathers are fine and always used."""
+
+    # Pallas VMEM-gather routing thresholds (TPU only).
     PALLAS_MIN_SIZE = 1 << 13
     PALLAS_MAX_ORDER = 1 << 12
 
@@ -1482,6 +1602,12 @@ class LookupOps:
 
         return _HAVE_PALLAS and jax.default_backend() == "tpu"
 
+    def _route_calc(self) -> bool:
+        """True when table gathers would ride XLA's catastrophic TPU
+        lowering (order above the Pallas VMEM ceiling): the calculate
+        kernels are strictly faster, and bit-identical."""
+        return self.meta.order > self.PALLAS_MAX_ORDER and jax.default_backend() == "tpu"
+
     def _padded_tables(self):
         from ._pallas._elementwise import _pad128
 
@@ -1489,6 +1615,8 @@ class LookupOps:
 
     def multiply(self, a, b):
         q = self.meta.order
+        if self._route_calc():
+            return self._calc.multiply(a, b)
         if self._use_pallas(a, b):
             from ._pallas._elementwise import lookup_multiply_pallas
 
@@ -1506,6 +1634,8 @@ class LookupOps:
     def multiply_bulk(self, a, b):
         # without this override __getattr__ would delegate to the CALC
         # ops' multiply_bulk, silently leaving lookup mode
+        if self._route_calc():
+            return self._calc.multiply_bulk(a, b)
         return self.multiply(a, b)
 
     def square(self, a):
@@ -1513,6 +1643,8 @@ class LookupOps:
 
     def reciprocal(self, a):
         q = self.meta.order
+        if self._route_calc():
+            return self._calc.reciprocal(a)
         if self._use_pallas(a):
             from ._pallas._elementwise import lookup_reciprocal_pallas
 
@@ -1523,6 +1655,8 @@ class LookupOps:
 
     def divide(self, a, b):
         q = self.meta.order
+        if self._route_calc():
+            return self._calc.divide(a, b)
         if self._use_pallas(a, b):
             from ._pallas._elementwise import lookup_divide_pallas
 
@@ -1537,6 +1671,8 @@ class LookupOps:
         return jnp.where(a == 0, 0, r).astype(self.dt)
 
     def power(self, a, e):
+        if self._route_calc():
+            return self._calc.power(a, e)
         # jnp remainder is non-negative, so negative exponents work directly:
         # a^e = alpha^(log(a)*e mod (q-1)). Reduce e mod q-1 first so the
         # int64 product log(a)*e cannot overflow (log < 2^20, e_red < 2^20).
@@ -1556,6 +1692,8 @@ class LookupOps:
         return self.power(a, words[0])
 
     def power_static(self, a, e: int):
+        if self._route_calc():
+            return self._calc.power_static(a, e)
         # Reduce mod q-1 first (exponents may exceed 64 bits), but keep the
         # 0^e semantics of the true exponent.
         q = self.meta.order
@@ -1570,6 +1708,8 @@ class LookupOps:
         return self._take(self.LOG, a).astype(jnp.int64)
 
     def sqrt(self, a):
+        if self._route_calc():
+            return self._calc.sqrt(a)
         q = self.meta.order
         la = self._take(self.LOG, a).astype(jnp.int64)
         if q % 2 == 0:
@@ -1588,6 +1728,17 @@ class LookupOps:
 # ======================================================================
 # Factory
 # ======================================================================
+
+@functools.lru_cache(maxsize=256)  # bounded: see codes/_decoder.py::make_decoder
+def power_static_jit(meta: FieldMeta, mode: str, e: int):
+    """Cached jitted ``a -> a**e`` for a static exponent.
+
+    ``jax.jit(lambda a: ...)`` at each call site creates a fresh cache entry
+    per CALL (new lambda identity), retracing and recompiling every time;
+    repeated ``x**3`` / Fermat inversions must reuse one executable."""
+    ops = get_ops(meta, mode)
+    return jax.jit(lambda a: ops.power_static(a, e))
+
 
 @functools.lru_cache(maxsize=None)
 def get_ops(meta: FieldMeta, mode: str):

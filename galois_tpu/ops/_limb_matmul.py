@@ -37,14 +37,15 @@ def supports(meta) -> bool:
 
 
 def _to_u64(a):
+    # planar limbs: (4, ...) leading axis
     aw = a.astype(jnp.uint64)
-    return aw[..., 0] | (aw[..., 1] << 16) | (aw[..., 2] << 32) | (aw[..., 3] << 48)
+    return aw[0] | (aw[1] << 16) | (aw[2] << 32) | (aw[3] << 48)
 
 
 def _from_u64(x, dtype):
     out = jnp.stack(
         [x & 0xFFFF, (x >> 16) & 0xFFFF, (x >> 32) & 0xFFFF, (x >> 48) & 0xFFFF],
-        axis=-1,
+        axis=0,
     )
     return out.astype(dtype)
 
@@ -78,7 +79,8 @@ def _gold_mul_small(d, w: int):
 
 
 def goldilocks_matmul(meta, a, b):
-    """a: (..., M, K, 4), b: (..., K, N, 4) uint16 limbs -> (..., M, N, 4)."""
+    """a: (4, ..., M, K), b: (4, ..., K, N) planar uint16 limbs ->
+    (4, ..., M, N)."""
     au = _to_u64(a)  # (..., M, K)
     bu = _to_u64(b)  # (..., K, N)
     K = au.shape[-1]

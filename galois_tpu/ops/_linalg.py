@@ -55,15 +55,21 @@ def matmul(A, B):
     return cls._view(out, A._dtype)
 
 
+def _t_nd(meta) -> int:
+    """Trailing storage axes: 1 for digit storage; 0 for int and planar
+    limb storage (the planar limb axis LEADS and rides as a batch axis)."""
+    return 1 if meta.storage == "digits" else 0
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def _matmul_data(meta, mode, a, b, a_vec: bool, b_vec: bool):
     ops = get_ops(meta, mode)
-    storage_nd = 0 if meta.storage == STORAGE_INT else 1
+    t_nd = _t_nd(meta)
 
     if a_vec:
-        a = a[None, ...] if storage_nd == 0 else a[None, ...]
+        a = jnp.expand_dims(a, axis=-2 - t_nd)
     if b_vec:
-        b = b[..., None] if storage_nd == 0 else jnp.expand_dims(b, axis=-2)
+        b = jnp.expand_dims(b, axis=-1 - t_nd)
 
     p, m = meta.characteristic, meta.degree
 
@@ -81,7 +87,7 @@ def _matmul_data(meta, mode, a, b, a_vec: bool, b_vec: bool):
         from ._limb_matmul import goldilocks_matmul
         from ._limb_matmul import supports as gold_supports
 
-        K = a.shape[-1] if meta.storage == STORAGE_INT else a.shape[-2]
+        K = a.shape[-1 - t_nd]
         if bin_supports(meta, K):
             out = binary_matmul(meta, a, b)
         elif dig_supports(meta, K):
@@ -92,9 +98,9 @@ def _matmul_data(meta, mode, a, b, a_vec: bool, b_vec: bool):
             out = _generic_matmul(ops, meta, a, b)
 
     if a_vec:
-        out = jnp.squeeze(out, axis=-2 - storage_nd)
+        out = jnp.squeeze(out, axis=-2 - t_nd)
     if b_vec:
-        out = jnp.squeeze(out, axis=-1 - storage_nd)
+        out = jnp.squeeze(out, axis=-1 - t_nd)
     return out
 
 
@@ -204,14 +210,15 @@ def _prime_matmul_planes(a, b, p, K):
 
 def _generic_matmul(ops, meta, a, b):
     """Scan over the contraction axis with exact field ops (any field)."""
-    storage_nd = 0 if meta.storage == STORAGE_INT else 1
-    # a: (..., M, K [,w]), b: (..., K, N [,w])
-    if storage_nd == 0:
-        a_k = jnp.moveaxis(a, -1, 0)        # (K, ..., M)
-        b_k = jnp.moveaxis(b, -2, 0)        # (K, ..., N)
+    # int: a (..., M, K); planar limbs: a (w, ..., M, K) — the leading limb
+    # axis broadcasts through the same trailing-axis code; digits keep a
+    # trailing (m,) axis and need the offset branch below.
+    if _t_nd(meta) == 0:
+        a_k = jnp.moveaxis(a, -1, 0)        # (K, [w,] ..., M)
+        b_k = jnp.moveaxis(b, -2, 0)        # (K, [w,] ..., N)
 
         def body(carry, xs):
-            ak, bk = xs                      # (..., M), (..., N)
+            ak, bk = xs                      # ([w,] ..., M), ([w,] ..., N)
             prod = ops.multiply(ak[..., :, None], bk[..., None, :])
             return ops.add(carry, prod), None
 
@@ -295,12 +302,12 @@ def _row_reduce_data(meta, mode, a, ncols: int):
     """Masked Gaussian elimination: fixed iteration count, no data-dependent
     control flow — jit/vmap/shard-safe."""
     ops = get_ops(meta, mode)
-    M = a.shape[0]
+    M = a.shape[1] if meta.storage_first else a.shape[0]
 
     def one_col(state, j):
         a, pivot_row = state
         # find first row >= pivot_row with nonzero in col j
-        col = a[:, j] if meta.storage == STORAGE_INT else a[:, j, :]
+        col = _col(a, j, meta)
         nz = jnp.logical_not(ops.is_zero(col))
         rows = jnp.arange(M)
         candidates = jnp.where(jnp.logical_and(nz, rows >= pivot_row), rows, M)
@@ -313,18 +320,17 @@ def _row_reduce_data(meta, mode, a, ncols: int):
             ap = _row(a, pivot_row, meta)
             a = _set_row(a, i, ap, meta)
             a = _set_row(a, pivot_row, ai, meta)
-            # normalize pivot row
+            # normalize pivot row (a scalar's storage broadcasts against the
+            # row elementwise in every layout)
             piv = _elem(a, pivot_row, j, meta)
             inv = ops.reciprocal(piv)
-            prow = ops.multiply(_row(a, pivot_row, meta), inv[None] if meta.storage == STORAGE_INT else inv[None, :])
+            prow = ops.multiply(_row(a, pivot_row, meta), inv)
             a = _set_row(a, pivot_row, prow, meta)
             # eliminate all other rows
-            colj = a[:, j] if meta.storage == STORAGE_INT else a[:, j, :]
-            factor = colj
-            upd = ops.subtract(a, ops.multiply(_expand(factor, meta), prow[None]))
+            factor = _col(a, j, meta)
+            upd = ops.subtract(a, ops.multiply(_expand(factor, meta), _expand_rowb(prow, meta)))
             keep = rows == pivot_row
-            keep_b = keep[:, None] if meta.storage == STORAGE_INT else keep[:, None, None]
-            a = jnp.where(keep_b, a, upd)
+            a = jnp.where(_mask2(keep[:, None], meta), a, upd)
             return a
 
         a = jax.lax.cond(found, do_eliminate, lambda a: a, a)
@@ -335,23 +341,72 @@ def _row_reduce_data(meta, mode, a, ncols: int):
     return a, pivot_row
 
 
+# Layout-aware 2-D indexing helpers. Storage layouts of an (M, N) matrix:
+#   int:    (M, N)       digits: (M, N, m)      planar limbs: (w, M, N)
+
+
 def _row(a, i, meta):
+    if meta.storage_first:
+        return a[:, i]
     return a[i]
 
 
 def _set_row(a, i, row, meta):
+    if meta.storage_first:
+        return a.at[:, i].set(row)
     return a.at[i].set(row)
 
 
+def _col(a, j, meta):
+    if meta.storage == STORAGE_INT:
+        return a[:, j]
+    if meta.storage_first:
+        return a[:, :, j]
+    return a[:, j, :]
+
+
+def _set_col(a, j, col, meta):
+    if meta.storage == STORAGE_INT:
+        return a.at[:, j].set(col)
+    if meta.storage_first:
+        return a.at[:, :, j].set(col)
+    return a.at[:, j, :].set(col)
+
+
 def _elem(a, i, j, meta):
-    return a[i, j] if meta.storage == STORAGE_INT else a[i, j, :]
+    if meta.storage == STORAGE_INT:
+        return a[i, j]
+    if meta.storage_first:
+        return a[:, i, j]
+    return a[i, j, :]
+
+
+def _take_rows(a, idx, meta):
+    return jnp.take(a, idx, axis=1 if meta.storage_first else 0)
 
 
 def _expand(col, meta):
-    # col: (M,) or (M, w) -> (M, 1) or (M, 1, w)
-    if meta.storage == STORAGE_INT:
-        return col[:, None]
+    # column storage -> broadcastable against the full matrix:
+    # (M,) -> (M, 1); (M, w) -> (M, 1, w); planar (w, M) -> (w, M, 1)
+    if meta.storage == STORAGE_INT or meta.storage_first:
+        return col[..., None]
     return col[:, None, :]
+
+
+def _expand_rowb(row, meta):
+    # row storage -> broadcastable: (N,) -> (1, N); (N, m) -> (1, N, m);
+    # planar (w, N) -> (w, 1, N)
+    if meta.storage_first:
+        return row[:, None, :]
+    return row[None]
+
+
+def _mask2(mask, meta):
+    # (M, N) element mask -> aligned with the storage array. Trailing digit
+    # axis needs an expansion; planar right-aligns under the leading w.
+    if meta.storage == "digits":
+        return mask[..., None]
+    return mask
 
 
 def matrix_rank(A) -> int:
@@ -382,11 +437,18 @@ def inv(A):
             raise np.linalg.LinAlgError("Matrix is singular and cannot be inverted.")
         return cls(R[:, n:])
     I = cls.Identity(n)
-    AI = jnp.concatenate([A._data, I._data], axis=1)
-    out, pivots = _row_reduce_data(cls._meta, _calc_mode(cls), AI, n)
+    meta = cls._meta
+    col_ax = 2 if meta.storage_first else 1
+    AI = jnp.concatenate([A._data, I._data], axis=col_ax)
+    out, pivots = _row_reduce_data(meta, _calc_mode(cls), AI, n)
     if int(pivots) != n:
         raise np.linalg.LinAlgError("Matrix is singular and cannot be inverted.")
-    inv_data = out[:, n:] if cls._meta.storage == STORAGE_INT else out[:, n:, :]
+    if meta.storage == STORAGE_INT:
+        inv_data = out[:, n:]
+    elif meta.storage_first:
+        inv_data = out[:, :, n:]
+    else:
+        inv_data = out[:, n:, :]
     return cls._view(inv_data, A._dtype)
 
 
@@ -403,14 +465,16 @@ def _plu_data(meta, mode, a):
     with zeros on the diagonal rather than an error.
     """
     ops = get_ops(meta, mode)
-    n, ncols = a.shape[0], a.shape[1]
-    vec = meta.storage != STORAGE_INT
+    if meta.storage_first:
+        n, ncols = a.shape[1], a.shape[2]
+    else:
+        n, ncols = a.shape[0], a.shape[1]
     rows = jnp.arange(n)
     cols = jnp.arange(ncols)
 
     def one_col(state, j):
         a, perm, swaps = state
-        colj = a[:, j] if not vec else a[:, j, :]
+        colj = _col(a, j, meta)
         nz = jnp.logical_not(ops.is_zero(colj))
         cand = jnp.where(jnp.logical_and(nz, rows >= j), rows, n)
         i = jnp.min(cand)
@@ -418,23 +482,21 @@ def _plu_data(meta, mode, a):
         i = jnp.where(found, i, j)
         # swap rows j <-> i via a full-row gather (no-op when i == j)
         idx = jnp.where(rows == j, i, jnp.where(rows == i, j, rows))
-        a = jnp.take(a, idx, axis=0)
+        a = _take_rows(a, idx, meta)
         perm = jnp.take(perm, idx)
         swaps = swaps + jnp.logical_and(found, i != j).astype(jnp.int32)
-        piv = a[j, j] if not vec else a[j, j, :]
+        piv = _elem(a, j, j, meta)
         inv_p = ops.reciprocal(piv)
-        colj = a[:, j] if not vec else a[:, j, :]
+        colj = _col(a, j, meta)
         below = rows > j
-        factor = ops.multiply(colj, inv_p[None] if not vec else inv_p[None, :])
-        rowj = a[j]
-        upd = ops.subtract(a, ops.multiply(_expand(factor, meta), rowj[None]))
+        factor = ops.multiply(colj, inv_p)
+        rowj = _row(a, j, meta)
+        upd = ops.subtract(a, ops.multiply(_expand(factor, meta), _expand_rowb(rowj, meta)))
         mask = jnp.logical_and(jnp.logical_and(below[:, None], cols[None, :] > j), found)
-        if vec:
-            mask = mask[..., None]
-        a = jnp.where(mask, upd, a)
+        a = jnp.where(_mask2(mask, meta), upd, a)
         # record the multipliers in column j below the diagonal
         newcol = ops._select(jnp.logical_and(below, found), factor, colj)
-        a = a.at[:, j].set(newcol) if not vec else a.at[:, j, :].set(newcol)
+        a = _set_col(a, j, newcol, meta)
         return (a, perm, swaps), None
 
     init = (a, rows, jnp.asarray(0, jnp.int32))
@@ -447,13 +509,22 @@ def _det_data(meta, mode, a):
     """Determinant on device: PLU, then (-1)^swaps * prod(diag(U))."""
     ops = get_ops(meta, mode)
     lu, _, swaps = _plu_data(meta, mode, a)
-    n = a.shape[0]
-    diag = lu[jnp.arange(n), jnp.arange(n)]  # (n,) or (n, w)
+    n = a.shape[1] if meta.storage_first else a.shape[0]
+    ar = jnp.arange(n)
+    if meta.storage_first:
+        diag = lu[:, ar, ar]                   # (w, n) planar
+        diag = jnp.moveaxis(diag, 0, -1)       # (n, w) scan layout
+        one = ops.one_like(diag[0])            # (w,) planar scalar
 
-    def body(carry, d):
-        return ops.multiply(carry, d), None
+        def body(carry, d):
+            return ops.multiply(carry, d), None
+    else:
+        diag = lu[ar, ar]  # (n,) or (n, m)
+        one = ops.one_like(diag[0])
 
-    one = ops.one_like(diag[0])
+        def body(carry, d):
+            return ops.multiply(carry, d), None
+
     prod, _ = jax.lax.scan(body, one, diag)
     odd = (swaps & 1) == 1
     return ops._select(odd, ops.negative(prod), prod)
@@ -465,13 +536,11 @@ _DEVICE_LINALG_CUTOFF = 4096
 def _lu_split(cls, lu_data, perm, n):
     """Split the packed getrf output into (P, L, U) FieldArrays."""
     meta = cls._meta
-    vec = meta.storage != STORAGE_INT
     rows = jnp.arange(n)[:, None]
-    cols = jnp.arange(lu_data.shape[1])[None, :]
-    lower = rows > cols
-    diag = rows == cols
-    if vec:
-        lower, diag = lower[..., None], diag[..., None]
+    ncols = lu_data.shape[2] if meta.storage_first else lu_data.shape[1]
+    cols = jnp.arange(ncols)[None, :]
+    lower = _mask2(rows > cols, meta)
+    diag = _mask2(rows == cols, meta)
     zero = jnp.zeros_like(lu_data)
     ops = get_ops(meta, _calc_mode(cls))
     one = ops.one_like(lu_data)
@@ -481,14 +550,18 @@ def _lu_split(cls, lu_data, perm, n):
     # decomposition is jit-safe (perm may be a tracer).
     oh = jnp.arange(n)[:, None] == jnp.asarray(perm)[None, :]
     dt = jnp.dtype(meta.internal_dtype)
-    if vec:
+    if meta.storage == STORAGE_INT:
+        P_data = oh.astype(dt)
+    elif meta.storage_first:
+        P_data = (
+            jnp.zeros((meta.storage_width, n, n), dtype=dt).at[0].set(oh.astype(dt))
+        )
+    else:
         P_data = (
             jnp.zeros((n, n, meta.storage_width), dtype=dt)
             .at[..., 0]
             .set(oh.astype(dt))
         )
-    else:
-        P_data = oh.astype(dt)
     return cls._view(P_data), cls._view(L, None), cls._view(U, None)
 
 

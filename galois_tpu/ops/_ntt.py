@@ -30,6 +30,16 @@ __all__ = ["fft_data", "ifft_data", "field_fft", "field_ifft", "FFTPlan"]
 _MAX_BASE = 64  # transforms at or below this size use a direct DFT matmul
 
 
+def _trailing_nd(meta) -> int:
+    """Element-axis offset from the END of a storage array. Digit storage
+    keeps a trailing (m,) axis; planar limb storage leads with (w,), which
+    rides through all trailing-axis reshapes as a batch axis; int storage
+    has no storage axis."""
+    return 1 if meta.storage == "digits" else 0
+
+
+
+
 def _radix_schedule(N: int) -> List[int]:
     """Factor N into a list of radices, largest-first, leaving a base <= 64.
 
@@ -155,7 +165,7 @@ class FFTPlan:
 
     def transform(self, x: jnp.ndarray, tables=None) -> jnp.ndarray:
         ops = self.ops
-        storage_nd = 0 if self.meta.storage == "int" else 1
+        storage_nd = _trailing_nd(self.meta)
         lev_tabs, base_W = tables if tables is not None else (None, jnp.asarray(self.base_W))
 
         def rec(x, level: int):
@@ -188,7 +198,7 @@ class FFTPlan:
     def _apply_dft(self, x, W):
         """x: (..., n [, w]); W: (n, n [, w]). Returns X[s] = sum_j W[s,j] x[j]."""
         ops = self.ops
-        storage_nd = 0 if self.meta.storage == "int" else 1
+        storage_nd = _trailing_nd(self.meta)
         # NOTE: a modular-matmul formulation of this contraction sends XLA's
         # algebraic simplifier into a pathological (hours-long) loop at large
         # N; the elementwise+tree-reduce form compiles fast and is within a
@@ -202,7 +212,7 @@ class FFTPlan:
         out = None
         for j0 in range(0, n, chunk):
             xc = jax.lax.slice_in_dim(x, j0, j0 + chunk, axis=x.ndim - 1 - storage_nd)
-            Wc = jax.lax.slice_in_dim(Wd, j0, j0 + chunk, axis=1)
+            Wc = jax.lax.slice_in_dim(Wd, j0, j0 + chunk, axis=Wd.ndim - 1 - storage_nd)
             xj = jnp.expand_dims(xc, -2 - storage_nd)        # (..., 1, c)
             prod = ops.multiply(xj, Wc)                      # (..., n_s, c)
             part = _field_sum(ops, prod, axis=-1 - storage_nd)
@@ -213,7 +223,7 @@ class FFTPlan:
         """z: (..., M, r); W: (r, r). X[s*M + k] = sum_j z[k,j] W[s,j];
         output flattened to (..., r*M) with s major."""
         ops = self.ops
-        storage_nd = 0 if self.meta.storage == "int" else 1
+        storage_nd = _trailing_nd(self.meta)
         r = z.shape[-1 - storage_nd]
         numel = int(np.prod(z.shape)) * r
         chunk = r
@@ -223,7 +233,7 @@ class FFTPlan:
         out = None
         for j0 in range(0, r, chunk):
             zc = jax.lax.slice_in_dim(z, j0, j0 + chunk, axis=z.ndim - 1 - storage_nd)
-            Wc = jax.lax.slice_in_dim(Wd, j0, j0 + chunk, axis=1)
+            Wc = jax.lax.slice_in_dim(Wd, j0, j0 + chunk, axis=Wd.ndim - 1 - storage_nd)
             zj = jnp.expand_dims(zc, -3 - storage_nd)          # (..., 1, M=k, c)
             Wj = jnp.expand_dims(Wc, -2 - storage_nd)          # (r=s, 1, c)
             prod = ops.multiply(zj, Wj)                        # (..., s, k, c)
@@ -239,7 +249,7 @@ class FFTPlan:
 def _field_sum(ops, x, axis: int):
     """Reduce with field addition along `axis` via a binary tree (log depth)."""
     meta = ops.meta
-    storage_nd = 0 if meta.storage == "int" else 1
+    storage_nd = _trailing_nd(meta)
     if axis < 0:
         axis = x.ndim + axis
     n = x.shape[axis]
@@ -371,16 +381,16 @@ class MatmulFFTPlan(FFTPlan):
         t1, T, t2 = tables if tables is not None else self._host_tables()
         p = self.meta.characteristic
         if self.meta.storage != "int":
-            # Goldilocks limb storage: same 4-step, MXU work via the
-            # 7-bit-plane goldilocks matmul (ops/_limb_matmul.py).
+            # Goldilocks planar limb storage (w leading, rides as a batch
+            # axis): same 4-step, MXU work via the 7-bit-plane goldilocks
+            # matmul (ops/_limb_matmul.py).
             from ._limb_matmul import goldilocks_matmul
 
-            w = self.meta.storage_width
-            batch = x.shape[:-2]
-            M = x.reshape(batch + (self.n1, self.n2, w))
+            batch = x.shape[:-1]  # includes the leading (w,)
+            M = x.reshape(batch + (self.n1, self.n2))
             if self.sub1 is not None:
-                Mt = jnp.swapaxes(M, -3, -2)  # (..., n2, n1, w)
-                A = jnp.swapaxes(self.sub1.transform(Mt, t1), -3, -2)
+                Mt = jnp.swapaxes(M, -2, -1)  # (w, ..., n2, n1)
+                A = jnp.swapaxes(self.sub1.transform(Mt, t1), -2, -1)
             else:
                 A = goldilocks_matmul(self.meta, t1, M)
             B = self.ops.multiply(A, T)
@@ -388,8 +398,8 @@ class MatmulFFTPlan(FFTPlan):
                 C = self.sub2.transform(B, t2)
             else:
                 C = goldilocks_matmul(self.meta, B, t2)
-            X = jnp.swapaxes(C, -2, -3)  # (..., k2, k1, w)
-            return X.reshape(batch + (self.N, w))
+            X = jnp.swapaxes(C, -1, -2)  # (w, ..., k2, k1)
+            return X.reshape(batch + (self.N,))
         batch = x.shape[:-1]
         M = x.reshape(batch + (self.n1, self.n2))
         if self.sub1 is not None:
@@ -521,8 +531,12 @@ def _pad_or_trim(x, N: int):
     if cur == N:
         return x
     if cur > N:
-        return x[..., :N] if cls._meta.storage == "int" else x[..., :N]
+        return x[..., :N]
     pad_shape = x.shape[:-1] + (N - cur,)
     pad = cls.Zeros(pad_shape)
-    data = jnp.concatenate([x._data, pad._data], axis=-1 if cls._meta.storage == "int" else -2)
+    # The transform axis is the trailing element axis: last data axis for
+    # int and planar limb storage, -2 above a trailing digit axis.
+    data = jnp.concatenate(
+        [x._data, pad._data], axis=-1 - _trailing_nd(cls._meta)
+    )
     return cls._view(data, x._dtype)

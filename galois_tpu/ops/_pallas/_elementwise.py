@@ -184,63 +184,50 @@ def _gold_mul_digits(da, db):
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def goldilocks_multiply_pallas(a, b, interpret: bool = False):
-    """Goldilocks multiply on (..., 4) u16 limb storage.
+    """Goldilocks multiply on PLANAR (4, ...) u16 limb storage.
 
-    The XLA path pays a catastrophic strided relayout splitting the
-    minor limb axis out of HBM (~12 ms at 2^23 elements, measured); here
-    the de-interleave happens on VMEM lanes: limb j of an element sits at
-    lane 4k+j, three lane-rolls align all four limb vectors at the
-    element's base lane, the product is computed at 1/4 lane utilization
-    (compute is far from the bottleneck), and three rolls scatter the
-    result limbs back.
+    With the planar layout every limb plane is already a full-lane
+    contiguous array, so the round-2 lane-roll de-interleave (which
+    reconstructed exactly this layout from interleaved (..., 4) storage,
+    at 1/4 lane utilization) is gone: the kernel streams four full-lane
+    planes per operand through VMEM and computes the digit product at
+    full lane utilization.
     """
     orig_shape = a.shape
-    af = a.reshape(-1).astype(jnp.uint16)
-    bf = b.reshape(-1).astype(jnp.uint16)
-    n = af.shape[0]
+    af = a.reshape(4, -1).astype(jnp.uint16)
+    bf = b.reshape(4, -1).astype(jnp.uint16)
+    n = af.shape[1]
     blk_rows = int(os.environ.get("GALOIS_TPU_GOLD_BLK", "256"))
     if n < blk_rows * 1024:
         blk_rows = 16
     BLK = blk_rows * 1024
     pad = (-n) % BLK
     if pad:
-        zeros = jnp.zeros((pad,), jnp.uint16)
-        af = jnp.concatenate([af, zeros])
-        bf = jnp.concatenate([bf, zeros])
-    rows = af.shape[0] // 1024
-
-    def roll_l(x, shift):
-        if interpret:
-            return jnp.roll(x, shift, axis=1)
-        # pltpu.roll requires a non-negative i32 shift (x64 mode would trace
-        # a Python int as i64); same wrap semantics as jnp.roll (verified
-        # against the XLA kernel on hardware).
-        return pltpu.roll(x, jnp.int32(shift % x.shape[1]), 1)
+        zeros = jnp.zeros((4, pad), jnp.uint16)
+        af = jnp.concatenate([af, zeros], axis=1)
+        bf = jnp.concatenate([bf, zeros], axis=1)
+    rows = af.shape[1] // 1024
 
     def kernel(a_ref, b_ref, o_ref):
         av = a_ref[:].astype(jnp.uint32)
         bv = b_ref[:].astype(jnp.uint32)
-        da = [av] + [roll_l(av, -j) for j in range(1, 4)]
-        db = [bv] + [roll_l(bv, -j) for j in range(1, 4)]
+        da = [av[j] for j in range(4)]
+        db = [bv[j] for j in range(4)]
         r = _gold_mul_digits(da, db)
-        lane = jax.lax.broadcasted_iota(jnp.uint32, av.shape, 1) & 3
-        out = r[0]
-        for j in range(1, 4):
-            out = jnp.where(lane == j, roll_l(r[j], j), out)
-        o_ref[:] = out.astype(jnp.uint16)
+        o_ref[:] = jnp.stack(r, axis=0).astype(jnp.uint16)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, 1024), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct((4, rows, 1024), jnp.uint16),
         grid=(rows // blk_rows,),
         in_specs=[
-            pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, blk_rows, 1024), lambda i: (i - i, i, i - i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, blk_rows, 1024), lambda i: (i - i, i, i - i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((4, blk_rows, 1024), lambda i: (i - i, i, i - i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(af.reshape(rows, 1024), bf.reshape(rows, 1024))
-    return out.reshape(-1)[:n].reshape(orig_shape)
+    )(af.reshape(4, rows, 1024), bf.reshape(4, rows, 1024))
+    return out.reshape(4, -1)[:, :n].reshape(orig_shape)
 
 
 # ----------------------------------------------------------------------

@@ -28,24 +28,31 @@ def _floordiv_kernel(meta: FieldMeta, mode: str, n: int, g_coeffs: tuple, ks: in
 
     @jax.jit
     def run(c):
-        # c: (B, n [, w]) descending. Quotient has n - deg coeffs; return
+        # c: (B, n) int / (B, n, m) digits / (w, B, n) planar limbs,
+        # coefficients descending. Quotient has n - deg coeffs; return
         # the last `ks` of them... quotient degree = n-1-deg -> ks = n-deg.
         deg = len(g_coeffs) - 1
+        ax = 2 if meta.storage_first else 1  # coefficient axis of r
         r = c
         qs = []
+        gk = jnp.asarray(g)
         for i in range(n - deg):
-            qi = r[:, i] if meta.storage == "int" else r[:, i, :]
+            if meta.storage == "int":
+                qi, qe = r[:, i], r[:, i][:, None]
+            elif meta.storage_first:
+                qi, qe = r[:, :, i], r[:, :, i][:, :, None]
+            else:
+                qi, qe = r[:, i, :], r[:, i, :][:, None, :]
             qs.append(qi)
             # r[i:i+deg+1] -= qi * g
-            gk = jnp.asarray(g)
-            prod = ops.multiply(
-                qi[:, None] if meta.storage == "int" else qi[:, None, :], gk
-            )
-            seg = jax.lax.dynamic_slice_in_dim(r, i, deg + 1, axis=1)
+            prod = ops.multiply(qe, gk)
+            seg = jax.lax.dynamic_slice_in_dim(r, i, deg + 1, axis=ax)
             seg = ops.subtract(seg, prod)
-            r = jax.lax.dynamic_update_slice_in_dim(r, seg, i, axis=1)
-        q = jnp.stack(qs, axis=1)
-        return q[:, -ks:] if ks < q.shape[1] else q
+            r = jax.lax.dynamic_update_slice_in_dim(r, seg, i, axis=ax)
+        q = jnp.stack(qs, axis=ax)
+        if ks >= q.shape[ax]:
+            return q
+        return jax.lax.slice_in_dim(q, q.shape[ax] - ks, q.shape[ax], axis=ax)
 
     return run
 
@@ -113,8 +120,14 @@ def poly_divmod_device(a_poly, b_poly):
     a = field(a_poly.coefficients())  # descending dense
     b = field(b_poly.coefficients())
     lead = b[0]
-    inv_lead = ops.reciprocal(b._data[0])
-    b_monic = field._view(ops.multiply(b._data, inv_lead[None] if meta.storage != "int" else inv_lead), b._dtype) if int(lead) != 1 else b
+    lead_data = b._data[:, 0] if meta.storage_first else b._data[0]
+    inv_lead = ops.reciprocal(lead_data)
+    if int(lead) != 1:
+        # inv_lead broadcasts against the coefficient axis elementwise in
+        # every storage layout (scalar / (m,) digit vector / (w,) planar).
+        b_monic = field._view(ops.multiply(b._data, inv_lead), b._dtype)
+    else:
+        b_monic = b
     q_data, r_data = _divmod_kernel(meta, mode, deg_a + 1, deg_b + 1)(
         a._data, b_monic._data, inv_lead
     )

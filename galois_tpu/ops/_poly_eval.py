@@ -27,14 +27,24 @@ def _eval_kernel(meta: FieldMeta, mode: str):
 
     @jax.jit
     def run(coeffs, x):
-        # coeffs: (n_coeffs, [w]) descending; x: (..., [w]). All scan
-        # carries go through the limb-tuple protocol (identity for int
-        # storage) so limb fields keep full-lane layouts across steps.
+        # coeffs arrive in storage layout; normalize to SCAN layout with the
+        # coefficient axis leading (planar limb arrays are (w, n) — move the
+        # limb axis behind the scanned axis so lax.scan slices coefficients).
+        # x: storage layout. All scan carries go through the limb-tuple
+        # protocol (identity for int storage) so limb fields keep full-lane
+        # layouts across steps.
+        if meta.storage_first:
+            coeffs = jnp.moveaxis(coeffs, 0, -1)  # (n, w)
+
+            def split_scan(c):
+                return ops.split_limbs(jnp.moveaxis(c, -1, 0))
+        else:
+            split_scan = ops.split_limbs
         n = coeffs.shape[0]
         xt = ops.split_limbs(x)
         if n < 64:
             def body(acc, c):
-                return ops.add_t(ops.multiply_t(acc, xt), ops.split_limbs(c)), None
+                return ops.add_t(ops.multiply_t(acc, xt), split_scan(c)), None
 
             acc0 = ops.split_limbs(ops.zero_like(x))
             acc, _ = jax.lax.scan(body, acc0, coeffs)
@@ -62,7 +72,7 @@ def _eval_kernel(meta: FieldMeta, mode: str):
         def inner(acc, cj):
             # acc: (k, ...[, w]) tuple-limbs; cj: (k, [w]) -> broadcast over x dims
             cjb = ops.tmap(
-                lambda L: L[(slice(None),) + (None,) * elem_nd], ops.split_limbs(cj)
+                lambda L: L[(slice(None),) + (None,) * elem_nd], split_scan(cj)
             )
             return ops.add_t(ops.multiply_t(acc, xb), cjb), None
 
@@ -113,10 +123,12 @@ def evaluate(poly, x):
         coeffs_desc[poly.degree - d] = c
     carr = _coeffs_to_device(meta, coeffs_desc)
     scalar = x.ndim == 0
-    data = x._data[None] if scalar else x._data
+    data = x._data
+    if scalar:
+        data = data[:, None] if meta.storage_first else data[None]
     out = _eval_kernel(meta, mode)(carr, data)
     if scalar:
-        out = out[0]
+        out = out[:, 0] if meta.storage_first else out[0]
     return cls._view(out, x._dtype)
 
 

@@ -111,20 +111,26 @@ class ShardedFFTPlan:
             seed_dev = _ints_to_storage(self.meta, seeds)
             ops = self.ops
 
+            digits = self.meta.storage == "digits"
+            cat_ax = 1  # k2 axis position: axis 1 for int/digits, 2 for planar
+            if self.meta.storage_first:
+                cat_ax = 2
+
             @jax.jit
             def fill(seed):
                 # T[:, 0] = 1; T[:, k] = seed^k — build by doubling blocks.
+                # seed: (N1,) int / (N1, m) digits / (w, N1) planar limbs.
                 one = ops.one_like(seed)
-                cols = one[:, None] if self.meta.storage == "int" else one[:, None, :]
+                cols = one[:, None, :] if digits else one[..., None]
                 width = 1
                 cur_pow = seed  # seed^(width)
                 while width < N2:
                     takew = min(width, N2 - width)
-                    blk = ops.multiply(
-                        cols[:, :takew] if self.meta.storage == "int" else cols[:, :takew, :],
-                        cur_pow[:, None] if self.meta.storage == "int" else cur_pow[:, None, :],
-                    )
-                    cols = jnp.concatenate([cols, blk], axis=1)
+                    if digits:
+                        blk = ops.multiply(cols[:, :takew, :], cur_pow[:, None, :])
+                    else:
+                        blk = ops.multiply(cols[..., :takew], cur_pow[..., None])
+                    cols = jnp.concatenate([cols, blk], axis=cat_ax)
                     cur_pow = ops.multiply(cur_pow, cur_pow)
                     width *= 2
                 return cols
@@ -134,38 +140,39 @@ class ShardedFFTPlan:
         return tw
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (N, [w]) global array (sharded or not) -> transformed, ordered
-        naturally, sharded over the mesh axis."""
+        """x: (N,) / (N, m) / planar (w, N) global array (sharded or not) ->
+        transformed, ordered naturally, sharded over the mesh axis."""
         mesh, axis = self.mesh, self.axis
         meta = self.meta
-        storage_nd = 0 if meta.storage == "int" else 1
         N1, N2, D = self.N1, self.N2, self.D
         tw = self._build_twiddle()
         ops = self.ops
         plan1, plan2 = self.plan1, self.plan2
 
-        w_tail = x.shape[1:]  # (w,) or ()
+        lead = 1 if meta.storage_first else 0  # planar limb axis leads
+        head = x.shape[:lead]                  # (w,) or ()
+        tail = x.shape[lead + 1 :]             # (m,) for digits, else ()
 
         def local_fn(xl, twl, tabs1, tabs2):
-            # xl: (N/D, [w]) local contiguous chunk of x.
+            # xl: ([w,] N/D [, m]) local contiguous chunk of x.
             # Global view: M[n2, n1] = x[n2*N1 + n1]; device holds N2/D rows.
-            Ml = xl.reshape((N2 // D, N1) + w_tail)
+            Ml = xl.reshape(head + (N2 // D, N1) + tail)
             # transpose 1: -> v rows n1 (N1/D, N2)
-            vl = _transpose(Ml, D, axis)
+            vl = _transpose(Ml, D, axis, lead)
             # local row DFT size N2 (root omega^N1); tables ride as runtime
             # args (replicated), not trace constants — see FFTPlan.device_tables
             Al = plan2.transform(vl, tabs2)
             # twiddle: T rows for global n1 of this device
             Bl = ops.multiply(Al, twl)
             # transpose 2: -> rows k2 (N2/D, N1)
-            Cl = _transpose(Bl, D, axis)
+            Cl = _transpose(Bl, D, axis, lead)
             # local row DFT size N1 (root omega^N2)
             Xl = plan1.transform(Cl, tabs1)
             # Xl[k2_local, k1] = X[k1*N2 + k2]; global output natural order
             # means device d should hold X[d*N/D ... ] = rows k1 of the
             # (N1, N2) result matrix R[k1, k2] = X[k1*N2+k2].
-            Rl = _transpose(Xl, D, axis)  # rows k1: (N1/D, N2)
-            return Rl.reshape((N // D,) + w_tail)
+            Rl = _transpose(Xl, D, axis, lead)  # rows k1: (N1/D, N2)
+            return Rl.reshape(head + (N // D,) + tail)
 
         import warnings
 
@@ -173,8 +180,13 @@ class ShardedFFTPlan:
             warnings.simplefilter("ignore", DeprecationWarning)
             from jax.experimental.shard_map import shard_map
 
-        spec_x = P(axis, *([None] * storage_nd))
-        spec_tw = P(axis, None, *([None] * storage_nd))
+        if meta.storage_first:
+            spec_x = P(None, axis)
+            spec_tw = P(None, axis, None)
+        else:
+            t_nd = 1 if meta.storage == "digits" else 0
+            spec_x = P(axis, *([None] * t_nd))
+            spec_tw = P(axis, None, *([None] * t_nd))
         N = self.N
         tabs1 = plan1.device_tables()
         tabs2 = plan2.device_tables()
@@ -191,24 +203,32 @@ class ShardedFFTPlan:
         return self._jitted(x, tw, tabs1, tabs2)
 
 
-def _transpose(Ml, D: int, axis: str):
+def _transpose(Ml, D: int, axis: str, lead: int = 0):
     """Distributed transpose inside shard_map.
 
-    Ml: local (R/D, C [, w]) rows of a global (R, C) matrix; returns local
-    (C/D, R [, w]) rows of the transposed matrix."""
-    RD = Ml.shape[0]
-    C = Ml.shape[1]
-    tail = Ml.shape[2:]
-    # split columns into D blocks -> (D, R/D, C/D)
-    blocks = Ml.reshape((RD, D, C // D) + tail)
-    blocks = jnp.moveaxis(blocks, 1, 0)
-    # all_to_all: send block e to device e; receive (D, R/D, C/D) where index
+    Ml: local ([w,] R/D, C [, m]) rows of a global (R, C) matrix — `lead`
+    leading batch axes (the planar limb axis) ride along untouched, as does
+    a trailing digit axis; returns local ([w,] C/D, R [, m]) rows of the
+    transposed matrix."""
+    RD = Ml.shape[lead]
+    C = Ml.shape[lead + 1]
+    head = Ml.shape[:lead]
+    tail = Ml.shape[lead + 2 :]
+    # split columns into D blocks -> (D, [w,] R/D, C/D)
+    blocks = Ml.reshape(head + (RD, D, C // D) + tail)
+    blocks = jnp.moveaxis(blocks, lead + 1, 0)
+    # all_to_all: send block e to device e; receive (D, ...) where index
     # j is the block from device j (= rows j*R/D..) of our column slab.
     recv = jax.lax.all_to_all(blocks, axis, split_axis=0, concat_axis=0, tiled=False)
+    recv = jnp.moveaxis(recv, 0, lead)
     # assemble (R, C/D): concatenate over j along rows
-    slab = recv.reshape((D * RD, C // D) + tail)
+    slab = recv.reshape(head + (D * RD, C // D) + tail)
     # transpose rows<->cols
-    perm = (1, 0) + tuple(range(2, slab.ndim))
+    perm = (
+        tuple(range(lead))
+        + (lead + 1, lead)
+        + tuple(range(lead + 2, slab.ndim))
+    )
     return jnp.transpose(slab, perm)
 
 
@@ -228,13 +248,13 @@ def _replicated_fallback_fn(meta, N, omega, mode, mesh, axis):
     plan = _plan(meta, N, omega, mode)
     tabs = plan.device_tables()
     D = mesh.shape[axis]
-    storage_nd = 0 if meta.storage == "int" else 1
+    e_ax = 1 if meta.storage_first else 0  # element axis under a planar lead
 
     def local(xl, tabs):
-        full = jax.lax.all_gather(xl, axis, axis=0, tiled=True)  # (N, [w])
-        X = plan.transform(full[None], tabs)[0]
+        full = jax.lax.all_gather(xl, axis, axis=e_ax, tiled=True)
+        X = plan.transform(full, tabs)
         i = jax.lax.axis_index(axis)
-        return jax.lax.dynamic_slice_in_dim(X, i * (N // D), N // D, axis=0)
+        return jax.lax.dynamic_slice_in_dim(X, i * (N // D), N // D, axis=e_ax)
 
     import warnings
 
@@ -242,7 +262,10 @@ def _replicated_fallback_fn(meta, N, omega, mode, mesh, axis):
         warnings.simplefilter("ignore", DeprecationWarning)
         from jax.experimental.shard_map import shard_map
 
-    spec_x = P(axis, *([None] * storage_nd))
+    if meta.storage_first:
+        spec_x = P(None, axis)
+    else:
+        spec_x = P(axis, *([None] * (1 if meta.storage == "digits" else 0)))
     spec_t = jax.tree.map(lambda _: P(), tabs)
     fn = jax.jit(
         shard_map(local, mesh=mesh, in_specs=(spec_x, spec_t), out_specs=spec_x, check_rep=False)
@@ -263,9 +286,10 @@ def sharded_batched_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool
     meta = field_cls._meta
     mode = field_cls._mode if field_cls._mode != "python-calculate" else meta.default_ufunc_mode
     data = x._data if isinstance(x, FieldArray) else x
-    if data.ndim < 2:
+    lead = 1 if meta.storage_first else 0
+    if data.ndim < 2 + lead:
         raise ValueError("sharded_batched_fft expects a (batch, N) array.")
-    B, N = data.shape[0], data.shape[1]
+    B, N = data.shape[lead], data.shape[lead + 1]
     D = mesh.shape[axis]
     if B % D:
         raise ValueError(f"Batch {B} must be divisible by the mesh axis size {D}.")
@@ -275,7 +299,6 @@ def sharded_batched_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool
         omega = hf.reciprocal(omega)
     plan = _plan(meta, N, omega, mode)
     tabs = plan.device_tables()
-    storage_nd = 0 if meta.storage == "int" else 1
 
     if inverse:
         n_inv = hf.reciprocal(N % meta.characteristic)
@@ -293,7 +316,10 @@ def sharded_batched_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool
         warnings.simplefilter("ignore", DeprecationWarning)
         from jax.experimental.shard_map import shard_map
 
-    spec_x = P(axis, None, *([None] * storage_nd))
+    if meta.storage_first:
+        spec_x = P(None, axis, None)
+    else:
+        spec_x = P(axis, None, *([None] * (1 if meta.storage == "digits" else 0)))
     spec_t = jax.tree.map(lambda _: P(), tabs)
     fn = jax.jit(
         shard_map(local, mesh=mesh, in_specs=(spec_x, spec_t), out_specs=spec_x, check_rep=False)
@@ -316,7 +342,7 @@ def sharded_fft(field_cls, x, mesh: Mesh, axis: str = "x", inverse: bool = False
     meta = field_cls._meta
     mode = field_cls._mode if field_cls._mode != "python-calculate" else meta.default_ufunc_mode
     data = x._data if isinstance(x, FieldArray) else x
-    N = data.shape[0]
+    N = data.shape[1 if meta.storage_first else 0]
     omega = _get_omega(field_cls, N)
     hf = get_host_field(meta)
     if inverse:
