@@ -105,6 +105,52 @@ def make_decoder(
 
     Y = np.array([apow[j] for j in range(n)], dtype=np.int64)  # locators
 
+    if with_erasures:
+        # --- evaluation-interpolation Gamma build (host constants) ---
+        # Gamma(x) = prod_{erased j} (1 - Y_j x) has degree <= d-1, so it is
+        # determined by its values at d fixed points z_k. Each value is a
+        # product over erased factors, i.e. a SUM of discrete logs linear in
+        # the erasure mask: one (B, n) @ (n, d) integer matmul on the MXU
+        # replaces the former top_k + locator gather + d-step scan. The
+        # coefficients come back via one exact field matmul with the
+        # host-inverted Vandermonde of the z_k. Bit-exact with reference
+        # step (2) (src/galois/_codes/_bch.py:1389-1393).
+        from ..fields._tables import build_exp_log
+
+        q = ext_meta.order
+        g_int = ext_meta.primitive_element_int  # group generator (alpha may not be)
+        _, LOG_np = build_exp_log(ext_meta)
+        zs = [0] + [apow[k] for k in range(d - 1)]  # d distinct points, z_0 = 0
+        LT = np.zeros((n, d), dtype=np.int64)  # log_g(1 - Y_j z_k); 0 at zero factors
+        zero_j = [-1] * d  # position whose factor vanishes at z_k (at most one)
+        for k in range(1, d):
+            for j in range(n):
+                f = hf.subtract(1, hf.multiply(int(Y[j]), int(zs[k])))
+                if f == 0:
+                    zero_j[k] = j
+                else:
+                    LT[j, k] = int(LOG_np[int(f)])
+        # Vandermonde V[k, t] = z_k^t and its exact field inverse (host)
+        V = [[hf.power(zs[k], t) for t in range(d)] for k in range(d)]
+        M_ = [row[:] + [1 if i == j else 0 for j in range(d)] for i, row in enumerate(V)]
+        for col in range(d):  # Gauss-Jordan over the field, exact ints
+            piv = next(r for r in range(col, d) if M_[r][col] != 0)
+            M_[col], M_[piv] = M_[piv], M_[col]
+            inv_p = hf.reciprocal(M_[col][col])
+            M_[col] = [hf.multiply(v, inv_p) for v in M_[col]]
+            for r in range(d):
+                if r != col and M_[r][col] != 0:
+                    f = M_[r][col]
+                    M_[r] = [hf.subtract(v, hf.multiply(f, w)) for v, w in zip(M_[r], M_[col])]
+        # (d, d) with Vinv_T[k, t] = Vinv[t, k]: coeffs = vals @ Vinv_T
+        Vinv_T = np.array(
+            [[M_[r][d + c] for c in range(d)] for r in range(d)], dtype=np.int64
+        ).T
+        # 7-bit planes of LT for exact int8 MXU matmuls (log values < q-1)
+        n_log_planes = max(1, -(-(q - 1).bit_length() // 7))
+        LT_planes = [((LT >> (7 * i)) & 127).astype(np.int8) for i in range(n_log_planes)]
+        g_nbits = (q - 1).bit_length()
+
     def fmatmul(X, Mconst_np):
         """(B, K) @ (K, N) with a host-constant matrix — MXU bit-planes for
         binary extension fields, masked field-dot otherwise."""
@@ -212,25 +258,33 @@ def make_decoder(
         # 1. syndromes: S[b, l] = sum_j r_z[b, j] * W[j, l]
         S = fmatmul(r_z, W)  # (B, d-1)
 
-        # 2. erasure locator Gamma (ascending, d coeffs). Compact the <= d-1
-        # erased positions per row with top_k, then one scan over d-1 slots
-        # (order inside the product is irrelevant) instead of all n positions.
-        Yd = jnp.asarray(Y).astype(dt)
-        key = jnp.where(era, n - jnp.arange(n)[None, :], 0).astype(jnp.int32)
-        kk = min(nroots, n)
-        topv, _ = jax.lax.top_k(key, kk)          # (B, kk); n - pos, 0 pad
-        sel_mask = topv > 0
-        pos = jnp.where(sel_mask, n - topv, 0)    # erased positions (any order)
-        Y_sel = jnp.take(Yd, pos)                 # (B, kk) small constant-table gather
-
-        def gamma_step(gamma, inputs):
-            yj, ej = inputs  # (B,), (B,)
-            shifted = jnp.roll(gamma, 1, axis=1).at[:, 0].set(0)
-            gnew = ops.subtract(gamma, ops.multiply(shifted, yj[:, None]))
-            return jnp.where(ej[:, None], gnew, gamma), None
-
-        gamma0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
-        gamma, _ = jax.lax.scan(gamma_step, gamma0, (Y_sel.T, sel_mask.T))
+        # 2. erasure locator Gamma (ascending, d coeffs) by evaluation-
+        # interpolation: log Gamma(z_k) is LINEAR in the erasure mask, so
+        # one (B, n) @ (n, d) int8 MXU matmul of the mask against the
+        # host log table gives every evaluation; vanishing factors (z_k an
+        # inverse locator of an erased position) are patched to exact 0;
+        # one field matmul with the inverted Vandermonde recovers the
+        # coefficients. Replaces the former top_k + gather + d-step scan.
+        era_i8 = era.astype(jnp.int8)
+        logsum = None
+        for i, plane in enumerate(LT_planes):
+            s = jnp.matmul(era_i8, jnp.asarray(plane), preferred_element_type=jnp.int32)
+            term = s.astype(jnp.int64) << (7 * i)
+            logsum = term if logsum is None else logsum + term
+        e_red = logsum % (q - 1)  # (B, d)
+        gvals = ops._pow_ladder(
+            ops.from_int_scalar(g_int), e_red.astype(jnp.uint64), nbits=g_nbits
+        ).astype(dt)
+        # exact zeros where the erased position's factor vanishes at z_k
+        zk = [k for k in range(1, d) if zero_j[k] >= 0]
+        if zk:
+            zjs = np.array([zero_j[k] for k in zk])
+            vanish = era[:, zjs]  # (B, |zk|) static-index gather of columns
+            gvals = gvals.at[:, np.array(zk)].set(
+                jnp.where(vanish, jnp.zeros_like(vanish, dtype=dt), gvals[:, np.array(zk)])
+            )
+        gvals = gvals.at[:, 0].set(jnp.ones((B,), dt))  # Gamma(0) = 1 always
+        gamma = fmatmul(gvals, Vinv_T)  # (B, d) ascending coefficients
 
         # 3. modified syndromes S' = Gamma * S mod x^(d-1)
         Sp = conv_trunc(gamma, S, nroots)  # (B, d-1)
