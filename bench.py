@@ -234,20 +234,15 @@ def _run(gt, get_ops, platform, results):
         chain_ok = mode != "jit-lookup" or platform != "tpu"
         candidates = [gops1]
         if chain_ok:
-            # Chain BOTH cores: multiply (mask ladder / lookup) and the bulk
-            # path (SWAR on TPU for m <= 8). Single-op times at ~1 ms ride
-            # on a ~31 ms tunnel round-trip whose jitter is itself ~1 ms, so
-            # they swing 3x between runs; the 64-deep chain amortizes the
-            # round-trip 64x and is stable. The best stable number is the
-            # headline; the single-op number is reported for reference.
+            # Single-op times at ~1 ms ride on a ~31 ms tunnel round-trip
+            # whose jitter is itself ~1 ms, so they swing 3x between runs;
+            # the 64-deep chain amortizes the round-trip 64x and is stable.
+            # The chain is the headline; the single-op number is reported
+            # as-is for reference (or "sub-floor" when unresolvable).
             tc = time_chained(ops.multiply, a, b)
             gops_chain = N / tc / 1e9
             results[f"gf256_mul_{mode}_chain_gops"] = gops_chain
             candidates.append(gops_chain)
-            if mode == "jit-calculate" and platform == "tpu":
-                tcb = time_chained(ops.multiply_bulk, a, b)
-                results["gf256_mul_swar_chain_gops"] = N / tcb / 1e9
-                candidates.append(N / tcb / 1e9)
         results[f"gf256_mul_{mode}_gops"] = gops1 if gops1 is not None else "sub-floor"
         for cand in candidates:
             if cand is not None:
@@ -513,71 +508,16 @@ def _run(gt, get_ops, platform, results):
     import os as _os
 
     # --- decision experiments (candidate paths, timed every run) ---
-    try:
-        # SWAR is now the DEFAULT multiply_bulk on TPU (m <= 8, large
-        # arrays); verify it against the mask-ladder multiply and time the
-        # ladder for the comparison record.
-        calc_ops = get_ops(meta, "jit-calculate")
-        fsw = jax.jit(calc_ops.multiply_bulk)
-        got = fsw(a[:4096], b[:4096])
-        ref = jax.jit(calc_ops.multiply)(a[:4096], b[:4096])
-        if bool(jnp.all(got == ref)):
-            t = time_single(fsw, a, b)
-            results["gf256_mul_bulk_default_gops"] = N / t / 1e9 if t else "sub-floor"
-            tc = time_chained(jax.jit(calc_ops.multiply), a, b)
-            results["gf256_mul_ladder_chain_gops"] = N / tc / 1e9
-        else:  # pragma: no cover
-            results["gf256_mul_bulk_default_gops"] = "MISMATCH"
-    except Exception as e:  # pragma: no cover
-        results["gf256_swar_default_error"] = str(e)[:200]
+    # DECIDED (BENCH r3, v5e): the XLA SWAR bulk path measured 0.96 Gops/s
+    # chained vs 88.5 for the mask ladder — the (N, 4)-u8 <-> u32 bitcast
+    # relayout dwarfs the VPU-op saving — so multiply_bulk stays on the
+    # ladder (see BinaryExtOps note) and the XLA-SWAR leg is no longer
+    # timed. The Pallas SWAR comparison record remains below.
 
-    try:
-        # Goldilocks multiply with the 16 u32 16x16 products replaced by
-        # exact f32 pairs (d < 2^16 times 8-bit halves: products < 2^24).
-        # Decides whether GoldilocksOps.multiply_t should move to the f32
-        # units (native) from u32 multiplies.
-        def _gold_mul_f32(dt_, et_):
-            shape = jnp.broadcast_shapes(dt_[0].shape, et_[0].shape)
-            d = [jnp.broadcast_to(v, shape).astype(jnp.float32) for v in dt_]
-            el = [jnp.broadcast_to((v & 0xFF), shape).astype(jnp.float32) for v in et_]
-            eh = [jnp.broadcast_to((v >> 8), shape).astype(jnp.float32) for v in et_]
-            zero = jnp.zeros(shape, jnp.uint32)
-            cols = [zero] * 8
-            for i in range(4):
-                for j in range(4):
-                    plo = (d[i] * el[j]).astype(jnp.uint32)
-                    phi = (d[i] * eh[j]).astype(jnp.uint32)
-                    prod = plo + (phi << 8)
-                    k = i + j
-                    cols[k] = cols[k] + (prod & 0xFFFF)
-                    cols[k + 1] = cols[k + 1] + (prod >> 16)
-            g = []
-            carry = zero
-            for k in range(8):
-                tt = cols[k] + carry
-                g.append(tt & 0xFFFF)
-                carry = tt >> 16
-            return og._reduce_digits_128_t([v.astype(jnp.int32) for v in g])
-
-        at = og.split_limbs(ag)
-        bt = og.split_limbs(bg)
-        w = og.multiply_t(tuple(v[:4096] for v in at), tuple(v[:4096] for v in bt))
-        g2 = jax.jit(_gold_mul_f32)(tuple(v[:4096] for v in at), tuple(v[:4096] for v in bt))
-        if all(bool(jnp.all(wk == gk)) for wk, gk in zip(w, g2)):
-            CH = 16
-
-            @jax.jit
-            def chain_f32(x, y):
-                yt = og.split_limbs(y)
-                acc = jax.lax.fori_loop(0, CH, lambda i, acc: _gold_mul_f32(acc, yt), og.split_limbs(x))
-                return og.join_limbs(acc)
-
-            t = corrected(time_call(chain_f32, ag, bg))
-            results["goldilocks_mul_f32_chain_gops"] = Ng / (t / CH) / 1e9 if t else "unresolvable"
-        else:  # pragma: no cover
-            results["goldilocks_mul_f32_chain_gops"] = "MISMATCH"
-    except Exception as e:  # pragma: no cover
-        results["goldilocks_f32_error"] = str(e)[:200]
+    # DECIDED (BENCH r3, v5e): the exact-f32-pair Goldilocks product
+    # measured 3.58 Gops/s chained vs 15.0 for the u32 limb-tuple path
+    # on planar storage, so GoldilocksOps.multiply_t stays on u32
+    # multiplies and the f32 experiment is no longer timed.
 
     if _os.environ.get("GALOIS_TPU_BENCH_PALLAS") == "0":
         results["pallas"] = "skipped (GALOIS_TPU_BENCH_PALLAS=0)"

@@ -730,36 +730,17 @@ class BinaryExtOps(FieldOps):
             return self._reduce2(*self._clmul2(a, b))
         return self._reduce(self._clmul(a, b))
 
-    def multiply_bulk(self, a, b):
-        # Default on TPU: large standalone u8 multiplies via the SWAR core
-        # on bitcast u32 lanes — 4 elements/lane, ~3x fewer VPU ops than the
-        # mask ladder, in plain XLA (no Pallas fusion barrier). Composite
-        # kernels keep the fusable `multiply`. On CPU the scalar backend
-        # loses from the extra bitcasts (measured 0.59 vs 1.24 Gops/s), so
-        # the routing keys on the backend (stable per process, trace-safe).
-        if (
-            self.m <= 8
-            and max(a.size, b.size) >= (1 << 12)
-            and jax.default_backend() == "tpu"
-        ):
-            from ._pallas._elementwise import _swar_mul_core
-
-            shape = jnp.broadcast_shapes(a.shape, b.shape)
-            af = jnp.broadcast_to(a, shape).reshape(-1).astype(jnp.uint8)
-            bf = jnp.broadcast_to(b, shape).reshape(-1).astype(jnp.uint8)
-            n = af.shape[0]
-            pad = (-n) % 4
-            if pad:
-                af = jnp.concatenate([af, jnp.zeros((pad,), jnp.uint8)])
-                bf = jnp.concatenate([bf, jnp.zeros((pad,), jnp.uint8)])
-            A = jax.lax.bitcast_convert_type(af.reshape(-1, 4), jnp.uint32)
-            B = jax.lax.bitcast_convert_type(bf.reshape(-1, 4), jnp.uint32)
-            C = _swar_mul_core(A, B, self.m, self.f)
-            out = jax.lax.bitcast_convert_type(C, jnp.uint8).reshape(-1)
-            if pad:
-                out = out[:n]
-            return out.reshape(shape).astype(self.dt)
-        return self.multiply(a, b)
+    # NOTE: multiply_bulk deliberately stays on the mask ladder. The SWAR
+    # core (4 u8 elements per u32 lane, ~3x fewer VPU ops in the HLO) was
+    # made the default here in round 3 and MEASURED ON HARDWARE at
+    # 0.96 Gops/s chained vs the ladder's 88.5 (BENCH r3, v5e): the
+    # (N, 4)-u8 <-> u32 bitcast pair forces a minor-axis-4 physical
+    # relayout on both sides of the kernel — the same ~3%-lane-utilization
+    # trap that motivated planar limb storage — and it dwarfs the VPU-op
+    # saving. The Pallas SWAR variant (no relayout, explicit VMEM blocks)
+    # chains at 58 Gops/s — real, but still behind the plain ladder, so
+    # the ladder stays the default for every size. The SWAR core remains
+    # in ops/_pallas/_elementwise.py for the bench's comparison record.
 
     def square(self, a):
         # Squaring is bit-spreading (a_i -> bit 2i) then reduction — linear in m.
