@@ -10,6 +10,8 @@ through host NumPy, which would gather the batch to one device).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +20,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..codes._decoder import make_decoder
 
 __all__ = ["sharded_decode"]
+
+
+@functools.lru_cache(maxsize=64)  # bounded: see codes/_decoder.py::make_decoder
+def _shardmapped(decoder, mesh: Mesh, axis: str, n_in: int):
+    """Jitted shard_map of a batch decoder over `mesh[axis]`.
+
+    Decoding is embarrassingly parallel on the batch axis, so the decoder
+    runs PER SHARD with zero collectives. Letting GSPMD auto-partition the
+    decoder's scans/gathers instead inserted reshards that measured 130x
+    SLOWER than single-device on the 8-device CPU mesh
+    (benchmarks/bench_scaling.py, round 3). Cached so repeated calls reuse
+    one executable (a fresh jax.jit per call retraces every time)."""
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        decoder,
+        mesh=mesh,
+        in_specs=(P(axis, None),) * n_in,
+        out_specs=(P(axis, None), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn)
 
 
 def _raw_decoder(code, ns: int, with_erasures: bool):
@@ -92,10 +116,10 @@ def sharded_decode(
         ext, decoder = _raw_decoder(code, ns, with_erasures=erasures is not None)
         dev = jax.device_put(data.astype(ext._meta.internal_dtype), sharding)
         if erasures is None:
-            out, n_errors = decoder(dev)
+            out, n_errors = _shardmapped(decoder, mesh, axis, 1)(dev)
         else:
             edev = jax.device_put(jnp.asarray(emask), sharding)
-            out, n_errors = decoder(dev, edev)
+            out, n_errors = _shardmapped(decoder, mesh, axis, 2)(dev, edev)
         out = (out.astype(jnp.int64) % field.order).astype(field._meta.internal_dtype)
     if output == "message":
         if not code.is_systematic:
