@@ -554,6 +554,18 @@ def _bench_pallas(results, meta, a, b, N, rng):
         b31p = _dev_rand_u32(N // 2, 12) % jnp.uint32(p31)
         t = time_single(lambda x, y: prime_multiply_pallas(x, y, p31, False), a31p, b31p)
         results["gf_m31_mul_pallas_gops"] = (N // 2) / t / 1e9 if t else "sub-floor"
+        # Planar Goldilocks multiply (full-lane limb planes, no lane rolls):
+        # candidate for the storage-boundary op, where the XLA join/split
+        # path measured 2.7 Gops/s chained vs 15.0 for pre-split tuples.
+        from galois_tpu.ops._pallas import goldilocks_multiply_pallas
+
+        Ngp = N // 8
+        agp = _dev_rand_u32(Ngp * 4, 13).astype(jnp.uint16).reshape(4, Ngp)
+        bgp = _dev_rand_u32(Ngp * 4, 14).astype(jnp.uint16).reshape(4, Ngp)
+        t = time_single(lambda x, y: goldilocks_multiply_pallas(x, y, False), agp, bgp)
+        results["goldilocks_mul_pallas_gops"] = Ngp / t / 1e9 if t else "sub-floor"
+        tc = time_chained(lambda x, y: goldilocks_multiply_pallas(x, y, False), agp, bgp)
+        results["goldilocks_mul_pallas_chain_gops"] = Ngp / tc / 1e9
     except Exception as e:  # pragma: no cover
         results["pallas_error"] = str(e)[:200]
 

@@ -39,7 +39,7 @@ def _field_dot(ops, a, b, ax: int):
     return jax.lax.index_in_dim(out, 0, axis=ax, keepdims=False)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)  # bounded: keyed on step count (see codes/_decoder.py::make_decoder)
 def _step_kernel(meta: FieldMeta, mode: str, kind: str, direction: str, steps: int):
     ops = get_ops(meta, mode)
     # Element axis of the raw storage arrays: planar limb storage keeps the

@@ -161,7 +161,7 @@ def _device_capable(meta: FieldMeta) -> bool:
     return max(primes) <= _DEVICE_MAX_PRIME
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)  # bounded: keyed on user-supplied base (see codes/_decoder.py::make_decoder)
 def _device_log_kernel(meta: FieldMeta, mode: str, base_int: int):
     """Jitted batched Pohlig-Hellman: all subgroup solves and the CRT combine
     run on device; only the factorization of q-1 and the per-subgroup BSGS

@@ -8,6 +8,7 @@ lowering is exercised by bench.py when a TPU is present.
 
 from ._elementwise import (
     gf2m_multiply_pallas,
+    goldilocks_multiply_pallas,
     gf2m_multiply_swar_pallas,
     pallas_probe,
     prime_multiply_pallas,
@@ -17,6 +18,7 @@ from ._elementwise import (
 
 __all__ = [
     "gf2m_multiply_pallas",
+    "goldilocks_multiply_pallas",
     "gf2m_multiply_swar_pallas",
     "pallas_probe",
     "prime_multiply_pallas",

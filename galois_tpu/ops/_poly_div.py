@@ -16,7 +16,7 @@ from ..fields._meta import FieldMeta
 from ._kernels import get_ops
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)  # bounded: see codes/_decoder.py::make_decoder
 def _floordiv_kernel(meta: FieldMeta, mode: str, n: int, g_coeffs: tuple, ks: int):
     """Divide descending-coefficient rows (B, n) by monic g (len deg+1)."""
     ops = get_ops(meta, mode)
