@@ -208,26 +208,27 @@ def goldilocks_multiply_pallas(a, b, interpret: bool = False):
         bf = jnp.concatenate([bf, zeros], axis=1)
     rows = af.shape[1] // 1024
 
-    def kernel(a_ref, b_ref, o_ref):
-        av = a_ref[:].astype(jnp.uint32)
-        bv = b_ref[:].astype(jnp.uint32)
-        da = [av[j] for j in range(4)]
-        db = [bv[j] for j in range(4)]
+    # Each limb plane is its own 2-D ref: Mosaic lowers (R, 1024) u16
+    # blocks natively, while a 3-D (4, R, 1024) block failed to compile on
+    # hardware (remote compile helper exit 1, round-3 bench).
+    def kernel(a0, a1, a2, a3, b0, b1, b2, b3, o0, o1, o2, o3):
+        da = [r[:].astype(jnp.uint32) for r in (a0, a1, a2, a3)]
+        db = [r[:].astype(jnp.uint32) for r in (b0, b1, b2, b3)]
         r = _gold_mul_digits(da, db)
-        o_ref[:] = jnp.stack(r, axis=0).astype(jnp.uint16)
+        for o_ref, rk in zip((o0, o1, o2, o3), r):
+            o_ref[:] = rk.astype(jnp.uint16)
 
-    out = pl.pallas_call(
+    spec = pl.BlockSpec((blk_rows, 1024), lambda i: (i, i - i), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((4, rows, 1024), jnp.uint16),
+        out_shape=[jax.ShapeDtypeStruct((rows, 1024), jnp.uint16)] * 4,
         grid=(rows // blk_rows,),
-        in_specs=[
-            pl.BlockSpec((4, blk_rows, 1024), lambda i: (i - i, i, i - i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, blk_rows, 1024), lambda i: (i - i, i, i - i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((4, blk_rows, 1024), lambda i: (i - i, i, i - i), memory_space=pltpu.VMEM),
+        in_specs=[spec] * 8,
+        out_specs=[spec] * 4,
         interpret=interpret,
-    )(af.reshape(4, rows, 1024), bf.reshape(4, rows, 1024))
-    return out.reshape(4, -1)[:, :n].reshape(orig_shape)
+    )(*[af[j].reshape(rows, 1024) for j in range(4)], *[bf[j].reshape(rows, 1024) for j in range(4)])
+    out = jnp.stack([o.reshape(-1)[:n] for o in outs], axis=0)
+    return out.reshape(orig_shape)
 
 
 # ----------------------------------------------------------------------

@@ -19,9 +19,10 @@ FIELDS = [
     7**7,  # odd ext, int storage
     2**24,  # binary ext two-u32-word clmul path (m in 17..32)
     2**64 - 2**32 + 1,  # Goldilocks, limb storage
-    2**61 - 1,  # Mersenne-61, limb storage
+    2**61 - 1,  # Mersenne-61, limb storage (L=4: fused schoolbook product)
     2**100,  # binary ext, limb storage
-    (2**255 - 19),  # 255-bit prime, limb storage
+    2**127 - 1,  # 8-limb prime: anti-diagonal int8-matmul product fold
+    (2**255 - 19),  # 255-bit prime, limb storage (L=16 matmul fold)
 ]
 
 
@@ -79,3 +80,19 @@ def test_sqrt_of_squares(field):
     sq = a * a
     r = sq.sqrt()
     assert np.array_equal(np.asarray(r * r, dtype=object), np.asarray(sq, dtype=object))
+
+
+def test_scalar_comparison_broadcast(field):
+    """a == scalar / a != 0 must broadcast across every storage layout —
+    planar limb storage aligns the LEADING limb axis while element axes
+    broadcast trailing-relative (regression: round-3 planar rewrite)."""
+    a = _rand(field, 11, 8)
+    vals = np.asarray(a, dtype=object)
+    nz_mask = np.asarray(a != 0)
+    assert nz_mask.shape == (11,)
+    assert np.array_equal(nz_mask, vals != 0)
+    first = a[0]  # 0-D scalar FieldArray
+    assert np.array_equal(np.asarray(a == first), vals == vals[0])
+    # boolean-mask indexing rides the same comparison path
+    nz = a[a != 0]
+    assert nz.size == int((vals != 0).sum())
