@@ -192,20 +192,38 @@ def make_decoder(
 
     def conv_trunc(A, B, out_len):
         """Batched poly multiply (ascending coeffs): A (B, la), B (B, lb) ->
-        (B, out_len) truncated."""
+        (B, out_len) truncated.
+
+        One-shot: ONE field multiply builds the full (B, lb, la) outer
+        product, a pad+reshape SHEAR aligns row j at offset j (row j of a
+        right-zero-padded (lb, la+lb) block starts at j*(la+lb), so
+        reslicing the flat buffer with stride la+lb-1 lands element
+        [j, k-j] at [j, k] and reads zeros elsewhere), and a log2(lb)
+        tree of field adds folds the anti-diagonals. Replaces lb
+        SEQUENTIAL multiply+slice+update steps — the decoder is latency-
+        bound at production batch sizes and runs up to three of these per
+        decode."""
         la, lb = A.shape[1], B.shape[1]
-        out = jnp.zeros((A.shape[0], min(la + lb - 1, out_len)), dtype=dt)
-        for j in range(lb):
-            prod = ops.multiply(A, B[:, j : j + 1])
-            # add prod shifted by j, truncating
-            take = min(la, out.shape[1] - j)
-            if take <= 0:
-                continue
-            seg = jax.lax.dynamic_slice_in_dim(out, j, take, axis=1)
-            seg = ops.add(seg, prod[:, :take])
-            out = jax.lax.dynamic_update_slice_in_dim(out, seg, j, axis=1)
-        if out.shape[1] < out_len:
-            out = jnp.pad(out, ((0, 0), (0, out_len - out.shape[1])))
+        nbatch = A.shape[0]
+        full = la + lb - 1
+        P = ops.multiply(A[:, None, :], B[:, :, None])  # (B, lb, la)
+        Ppad = jnp.pad(P, ((0, 0), (0, 0), (0, lb)))  # (B, lb, la + lb)
+        flat = Ppad.reshape(nbatch, lb * (la + lb))
+        sheared = flat[:, : lb * full].reshape(nbatch, lb, full)
+        out = sheared
+        rows = lb
+        while rows > 1:
+            half = rows // 2
+            out = jnp.concatenate(
+                [ops.add(out[:, :half], out[:, half : 2 * half]), out[:, 2 * half : rows]],
+                axis=1,
+            )
+            rows = half + (rows - 2 * half)
+        out = out[:, 0, :]
+        if full > out_len:
+            out = out[:, :out_len]
+        elif full < out_len:
+            out = jnp.pad(out, ((0, 0), (0, out_len - full)))
         return out
 
     def berlekamp_massey(Sp_shifted, u, B):
