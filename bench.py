@@ -387,7 +387,17 @@ def _run(gt, get_ops, platform, results):
         # patterns — time a single dispatch-corrected call instead.
         t = corrected(time_call(_fft_jit(plan), xs))
         results["ntt_2^20_ms"] = t * 1e3 if t else "unresolvable"
-        results["ntt_2^20_xforms_per_s"] = 1.0 / t if t else "unresolvable" 
+        results["ntt_2^20_xforms_per_s"] = 1.0 / t if t else "unresolvable"
+        if t is None and platform == "tpu":
+            # A single 2^20 transform (~0.8 ms) hides under the ~30 ms
+            # tunnel floor; a 32-wide BATCH amortizes one dispatch over
+            # 32 independent transforms (vmapped plan, no chained-loop
+            # simplifier trap) and resolves the per-transform time.
+            xb = (_dev_rand_u32(32 * 2**20, 8) % jnp.uint32(pn)).reshape(32, 2**20)
+            tb = corrected(time_call(_fft_jit(plan), xb, reps=3, warmup=1))  # native batch axis
+            if tb:
+                results["ntt_2^20_batched_ms_per_xform"] = tb / 32 * 1e3
+                results["ntt_2^20_xforms_per_s"] = 32.0 / tb
     except Exception as e:  # pragma: no cover
         results["ntt_error"] = str(e)
 

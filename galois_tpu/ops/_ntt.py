@@ -30,6 +30,16 @@ __all__ = ["fft_data", "ifft_data", "field_fft", "field_ifft", "FFTPlan"]
 _MAX_BASE = 64  # transforms at or below this size use a direct DFT matmul
 
 
+
+def _trace_state_clean() -> bool:
+    """True when not under an active jax trace (version-tolerant)."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return trace_state_clean()
+    except Exception:  # pragma: no cover - jax internals moved
+        return True
+
 def _trailing_nd(meta) -> int:
     """Element-axis offset from the END of a storage array. Digit storage
     keeps a trailing (m,) axis; planar limb storage leads with (w,), which
@@ -156,6 +166,13 @@ class FFTPlan:
         Passed to `transform` as runtime arguments by `_fft_jit`: embedding
         multi-hundred-MB tables as trace constants crashes the remote
         compile helper at large N and bloats every executable."""
+        if not _trace_state_clean():
+            # First call under an outer trace would cache TRACERS in this
+            # cross-trace plan object; serve trace-local constants instead.
+            return (
+                tuple((jnp.asarray(tw), jnp.asarray(W)) for (_, _, tw, W) in self.levels),
+                jnp.asarray(self.base_W),
+            )
         if getattr(self, "_dev_tables", None) is None:
             self._dev_tables = (
                 tuple((jax.device_put(tw), jax.device_put(W)) for (_, _, tw, W) in self.levels),
@@ -364,6 +381,11 @@ class MatmulFFTPlan(FFTPlan):
         self.T = self._gather((t_k1 * t_n2) % N)  # (N1, N2)
 
     def device_tables(self):
+        if not _trace_state_clean():
+            # First call under an outer trace would cache TRACERS in this
+            # cross-trace plan object (the cached-object invariant); serve
+            # uncached trace-local constants instead.
+            return self._host_tables()
         if getattr(self, "_dev_tables", None) is None:
             t1 = self.sub1.device_tables() if self.sub1 is not None else jax.device_put(self.W1)
             t2 = self.sub2.device_tables() if self.sub2 is not None else jax.device_put(self.W2)
