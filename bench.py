@@ -569,7 +569,7 @@ def _bench_pallas(results, meta, a, b, N, rng):
         # path measured 2.7 Gops/s chained vs 15.0 for pre-split tuples.
         from galois_tpu.ops._pallas import goldilocks_multiply_pallas
 
-        Ngp = N // 8
+        Ngp = N // 16  # 2^22: the hardware-validated size/block config
         agp = _dev_rand_u32(Ngp * 4, 13).astype(jnp.uint16).reshape(4, Ngp)
         bgp = _dev_rand_u32(Ngp * 4, 14).astype(jnp.uint16).reshape(4, Ngp)
         t = time_single(lambda x, y: goldilocks_multiply_pallas(x, y, False), agp, bgp)

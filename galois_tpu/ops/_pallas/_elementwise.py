@@ -197,7 +197,9 @@ def goldilocks_multiply_pallas(a, b, interpret: bool = False):
     af = a.reshape(4, -1).astype(jnp.uint16)
     bf = b.reshape(4, -1).astype(jnp.uint16)
     n = af.shape[1]
-    blk_rows = int(os.environ.get("GALOIS_TPU_GOLD_BLK", "256"))
+    # 16 is the hardware-validated block for the per-plane kernel (the
+    # 256-row config failed Mosaic's remote compile on v5e, round 3).
+    blk_rows = int(os.environ.get("GALOIS_TPU_GOLD_BLK", "16"))
     if n < blk_rows * 1024:
         blk_rows = 16
     BLK = blk_rows * 1024
