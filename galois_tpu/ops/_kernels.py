@@ -1294,6 +1294,10 @@ class LimbBinaryOps(FieldOps):
         aw = a.astype(jnp.uint32)
         bw = b.astype(jnp.uint32)
         shape = jnp.broadcast_shapes(aw.shape[1:], bw.shape[1:])
+        # mixed-rank planar operands: pad ELEMENT axes just under the
+        # leading limb axis so (w,) scalars broadcast against (w, ...)
+        aw = aw.reshape(aw.shape[:1] + (1,) * (len(shape) - (aw.ndim - 1)) + aw.shape[1:])
+        bw = bw.reshape(bw.shape[:1] + (1,) * (len(shape) - (bw.ndim - 1)) + bw.shape[1:])
         acc = jnp.zeros((PL,) + shape, dtype=jnp.uint32)
         sa = acc.at[:L].set(jnp.broadcast_to(aw, (L,) + shape))
         bwb = jnp.broadcast_to(bw, (L,) + shape)
