@@ -979,30 +979,14 @@ class OddExtOps(FieldOps):
 # Limb arithmetic (base 2^16) — huge prime fields
 # ======================================================================
 
-class LimbPrimeOps(FieldOps):
-    """GF(p) for p >= 2^32: little-endian base-2^16 limb vectors, Barrett
-    reduction with host-precomputed mu. All intermediates in u32 lanes —
-    limb products split into 16-bit lo/hi columns (column sums stay < 2^22),
-    so no emulated 64-bit integer op appears anywhere.
+class _PlanarTupleMixin:
+    """Shared limb-tuple protocol for PLANAR (L, *elem_shape) limb storage.
 
-    Storage is PLANAR: arrays are (L, *elem_shape), so every limb plane is a
-    full contiguous array riding the TPU's 128-lane axis; all arithmetic
-    runs on tuples of u32 planes (the limb-tuple protocol), with split/join
-    at the storage boundary reduced to free major-axis slices / one stack."""
-
-    def __init__(self, meta: FieldMeta):
-        super().__init__(meta)
-        self.L = meta.storage_width
-        self.p_int = meta.characteristic
-        # NumPy (not jnp): cached across traces — see OddExtOps note.
-        self.p_limbs = np.asarray(int_to_limbs(self.p_int, self.L))  # int64
-        self.mu_limbs = np.asarray(
-            int_to_limbs((1 << (2 * LIMB_BITS * self.L)) // self.p_int, self.L + 1)
-        )
-        self.dt = jnp.dtype(meta.internal_dtype)
-        self.MASK = (1 << LIMB_BITS) - 1
-
-    # -- planar limb-tuple protocol --------------------------------------
+    Every limb plane is a full contiguous array riding the TPU's 128-lane
+    axis; all arithmetic runs on tuples of u32 planes, with split/join at
+    the storage boundary reduced to free major-axis slices / one stack.
+    Subclasses must set `self.L` (storage limb count) and `self.dt`
+    (storage dtype)."""
 
     def split_limbs(self, a):
         return tuple(a[k].astype(jnp.uint32) for k in range(self.L))
@@ -1025,6 +1009,12 @@ class LimbPrimeOps(FieldOps):
             r = r & (ak == bk)
         return r
 
+    def is_zero_t(self, a):
+        r = a[0] == 0
+        for ak in a[1:]:
+            r = r & (ak == 0)
+        return r
+
     def _bcast2_t(self, a, b):
         shape = jnp.broadcast_shapes(
             jnp.broadcast_shapes(*[x.shape for x in a]),
@@ -1033,6 +1023,26 @@ class LimbPrimeOps(FieldOps):
         d = [jnp.broadcast_to(x, shape).astype(jnp.uint32) for x in a]
         e = [jnp.broadcast_to(x, shape).astype(jnp.uint32) for x in b]
         return d, e, shape
+
+
+class LimbPrimeOps(_PlanarTupleMixin, FieldOps):
+    """GF(p) for p >= 2^32: little-endian base-2^16 limb vectors, Barrett
+    reduction with host-precomputed mu. All intermediates in u32 lanes —
+    limb products split into 16-bit lo/hi columns (column sums stay < 2^22),
+    so no emulated 64-bit integer op appears anywhere. Planar limb-tuple
+    protocol from _PlanarTupleMixin."""
+
+    def __init__(self, meta: FieldMeta):
+        super().__init__(meta)
+        self.L = meta.storage_width
+        self.p_int = meta.characteristic
+        # NumPy (not jnp): cached across traces — see OddExtOps note.
+        self.p_limbs = np.asarray(int_to_limbs(self.p_int, self.L))  # int64
+        self.mu_limbs = np.asarray(
+            int_to_limbs((1 << (2 * LIMB_BITS * self.L)) // self.p_int, self.L + 1)
+        )
+        self.dt = jnp.dtype(meta.internal_dtype)
+        self.MASK = (1 << LIMB_BITS) - 1
 
     def _carry_norm_t(self, cols):
         """Propagate carries so all planes are < 2^16. cols: list of u32
@@ -1208,12 +1218,6 @@ class LimbPrimeOps(FieldOps):
     def subtract_t(self, a, b):
         return self.add_t(a, self.negative_t(b))
 
-    def is_zero_t(self, a):
-        r = a[0] == 0
-        for ak in a[1:]:
-            r = r & (ak == 0)
-        return r
-
     # -- planar-storage entry points: split, compute, join. XLA cancels
     # adjacent join/split pairs between chained ops.
 
@@ -1262,10 +1266,12 @@ class LimbPrimeOps(FieldOps):
         return le
 
 
-class LimbBinaryOps(FieldOps):
+class LimbBinaryOps(_PlanarTupleMixin, FieldOps):
     """GF(2^m) for m > 32: bit-limb carry-less arithmetic on PLANAR
-    (L, *elem_shape) storage — the scan carries are (PL, ...) stacks whose
-    leading limb axis never touches the 128-lane minor axis."""
+    (L, *elem_shape) storage. All arithmetic runs on limb TUPLES (the
+    protocol from _PlanarTupleMixin) so lax.scan/fori_loop carries in
+    composite kernels (pow ladders, Horner, poly divmod) never pay a
+    per-iteration stack/slice of joined storage."""
 
     def __init__(self, meta: FieldMeta):
         super().__init__(meta)
@@ -1284,23 +1290,64 @@ class LimbBinaryOps(FieldOps):
     def negative(self, a):
         return a
 
+    def add_t(self, a, b):
+        d, e, _ = self._bcast2_t(a, b)
+        return tuple(dk ^ ek for dk, ek in zip(d, e))
+
+    subtract_t = add_t
+
+    def negative_t(self, a):
+        return a
+
     def _get_bit(self, x, i):
         return (x[i // LIMB_BITS] >> (i % LIMB_BITS)) & 1
 
-    def multiply(self, a, b):
-        """Carry-less multiply + reduction, both as lax.scan so the XLA graph
-        is O(1) in m (an unrolled m=100 bit loop is a compile-time hazard)."""
+    @functools.cached_property
+    def _reduce_consts(self):
+        """NumPy-only (cached across traces): scanned reduction rows
+        f << (i-m) for the 2m-1-bit product, high bit first, plus the
+        (static) set of limb indices the scanned bit can live in."""
+        m, PL = self.m, self.PL
+        f = self.meta.irreducible_poly_int
+        idxs = list(range(2 * m - 2, m - 1, -1))
+        consts = np.stack(
+            [np.asarray(int_to_limbs(f << (i - m), PL)) for i in idxs]
+        ).astype(np.uint32)
+        r_word = np.asarray([i // LIMB_BITS for i in idxs])
+        r_sh = np.asarray([i % LIMB_BITS for i in idxs], dtype=np.uint32)
+        cand = sorted({int(w) for w in r_word})
+        return consts, r_word, r_sh, cand
+
+    def _reduce_t(self, acc):
+        """Reduce a PL-plane tuple (2m-1-bit value) mod f -> L planes.
+
+        lax.scan over the m-1 high bits so the XLA graph is O(1) in m (an
+        unrolled m=100 bit loop is a compile-time hazard). The scanned bit's
+        limb index is dynamic, but ranges over only ~L+1 candidates — a
+        short where-chain instead of a stacked-carry jnp.take."""
+        consts, r_word, r_sh, cand = self._reduce_consts
+
+        def red_step(acc, xs):
+            const, wi, sh = xs
+            word = jnp.zeros_like(acc[0])
+            for k in cand:
+                word = jnp.where(wi == k, acc[k], word)
+            mask = jnp.uint32(0) - ((word >> sh) & 1)  # all-ones select
+            return tuple(ak ^ (const[k] & mask) for k, ak in enumerate(acc)), None
+
+        acc, _ = jax.lax.scan(
+            red_step, tuple(acc), (jnp.asarray(consts), jnp.asarray(r_word), jnp.asarray(r_sh))
+        )
+        return acc[: self.L]
+
+    def multiply_t(self, a, b):
+        """Carry-less multiply + reduction as lax.scans over limb tuples."""
         m, L, PL = self.m, self.L, self.PL
-        aw = a.astype(jnp.uint32)
-        bw = b.astype(jnp.uint32)
-        shape = jnp.broadcast_shapes(aw.shape[1:], bw.shape[1:])
-        # mixed-rank planar operands: pad ELEMENT axes just under the
-        # leading limb axis so (w,) scalars broadcast against (w, ...)
-        aw = aw.reshape(aw.shape[:1] + (1,) * (len(shape) - (aw.ndim - 1)) + aw.shape[1:])
-        bw = bw.reshape(bw.shape[:1] + (1,) * (len(shape) - (bw.ndim - 1)) + bw.shape[1:])
-        acc = jnp.zeros((PL,) + shape, dtype=jnp.uint32)
-        sa = acc.at[:L].set(jnp.broadcast_to(aw, (L,) + shape))
-        bwb = jnp.broadcast_to(bw, (L,) + shape)
+        d, e, shape = self._bcast2_t(a, b)
+        zero = jnp.zeros(shape, jnp.uint32)
+        acc = (zero,) * PL
+        sa = tuple(d) + (zero,) * (PL - L)
+        bwb = jnp.stack(e)  # read-only scan input: one stack, not a carry
 
         word_idx = jnp.asarray(np.arange(m) // LIMB_BITS)
         bit_sh = jnp.asarray(np.arange(m) % LIMB_BITS, dtype=np.uint32)
@@ -1310,34 +1357,46 @@ class LimbBinaryOps(FieldOps):
             wi, sh = xs
             word = jnp.take(bwb, wi, axis=0)
             mask = jnp.uint32(0) - ((word >> sh) & 1)  # all-ones select, no mult
-            acc = acc ^ (sa & mask)
-            hi = sa >> (LIMB_BITS - 1)
-            sa2 = (sa << 1) & self.MASK
-            sa2 = sa2.at[1:].set(sa2[1:] | hi[:-1])
-            return (acc, sa2), None
+            acc = tuple(ak ^ (sk & mask) for ak, sk in zip(acc, sa))
+            sa = tuple(
+                ((sa[k] << 1) & self.MASK) | (sa[k - 1] >> (LIMB_BITS - 1))
+                if k
+                else (sa[0] << 1) & self.MASK
+                for k in range(PL)
+            )
+            return (acc, sa), None
 
         (acc, _), _ = jax.lax.scan(mul_step, (acc, sa), (word_idx, bit_sh))
+        return self._reduce_t(acc)
 
-        # reduce mod f, high bit first: constants f << (i-m) as scanned rows
-        f = self.meta.irreducible_poly_int
-        idxs = list(range(2 * m - 2, m - 1, -1))
-        consts = np.stack([np.asarray(int_to_limbs(f << (i - m), PL)) for i in idxs]).astype(np.uint32)
-        r_word = jnp.asarray([i // LIMB_BITS for i in idxs])
-        r_sh = jnp.asarray([np.uint32(i % LIMB_BITS) for i in idxs], dtype=jnp.uint32)
-        elem_nd = len(shape)
+    def square_t(self, a):
+        """GF(2) squaring has no cross terms: spread each limb's bits with
+        interleaved zeros (4 SWAR steps), then one reduction scan — ~m scan
+        steps total vs 2m for multiply_t, halving every pow-ladder square."""
+        L, PL = self.L, self.PL
+        aw = [x.astype(jnp.uint32) for x in a]
+        shape = jnp.broadcast_shapes(*[x.shape for x in aw])
+        acc = [jnp.zeros(shape, jnp.uint32)] * PL
+        for k in range(L):
+            x = aw[k]
+            x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+            x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+            x = (x | (x << 2)) & jnp.uint32(0x33333333)
+            x = (x | (x << 1)) & jnp.uint32(0x55555555)
+            if 2 * k < PL:
+                acc[2 * k] = acc[2 * k] | jnp.broadcast_to(x & self.MASK, shape)
+            if 2 * k + 1 < PL:
+                acc[2 * k + 1] = acc[2 * k + 1] | jnp.broadcast_to(x >> LIMB_BITS, shape)
+        return self._reduce_t(tuple(acc))
 
-        def red_step(acc, xs):
-            const, wi, sh = xs
-            word = jnp.take(acc, wi, axis=0)
-            mask = jnp.uint32(0) - ((word >> sh) & 1)
-            const = const.reshape((PL,) + (1,) * elem_nd)
-            return acc ^ (const & mask), None
+    # -- planar-storage entry points: split, compute, join. XLA cancels
+    # adjacent join/split pairs between chained ops.
 
-        acc, _ = jax.lax.scan(red_step, acc, (jnp.asarray(consts), r_word, r_sh))
-        return acc[: self.L].astype(self.dt)
+    def multiply(self, a, b):
+        return self.join_limbs(self.multiply_t(self.split_limbs(a), self.split_limbs(b)))
 
     def square(self, a):
-        return self.multiply(a, a)
+        return self.join_limbs(self.square_t(self.split_limbs(a)))
 
     def power_static(self, a, e: int):
         # Large static exponents use the compact ladder (small XLA graph);
