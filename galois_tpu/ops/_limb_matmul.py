@@ -103,3 +103,187 @@ def goldilocks_matmul(meta, a, b):
             blk = term if blk is None else _gold_add(blk, term)
         acc = blk if acc is None else _gold_add(acc, blk)
     return _from_u64(acc, a.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Generic limb-prime matmul: any GF(p) with planar base-2^16 limb storage
+# (BLS12-381 scalar field and friends). Same MXU digit-plane strategy as the
+# Goldilocks path above, generalized: the 16L-bit operands are split into
+# D = ceil(16L/7) exact 7-bit int8 digit planes, all D^2 plane pairs run as
+# int8 -> int32 MXU matmuls grouped by diagonal s = i + j, the diagonal sums
+# are scattered into base-2^16 columns of the exact 2L(+eps)-limb integer
+# product, high limbs are folded down with 2^(16*(2L-1)) mod p, and one
+# Barrett reduction (LimbPrimeOps._barrett_t) lands the result in [0, p).
+# The MXU does all O(M K N) work; the combine is O(D^2) elementwise on the
+# (M, N) output only. (TPU-native analogue of the reference's exact-float
+# BLAS trick, src/galois/_domains/_linalg.py:21-75, for fields the reference
+# can only touch in object dtype.)
+# ---------------------------------------------------------------------------
+
+_LIMB_BITS = 16
+_MASK16 = (1 << 16) - 1
+
+
+def supports_generic(meta) -> bool:
+    return meta.storage == "limbs" and meta.is_prime_field
+
+
+def _digit_planes(limbs, L: int, D: int):
+    """Planar u16 limb list (u32 planes) -> D exact 7-bit int8 digit planes.
+
+    Digit t covers bits [7t, 7t+7), possibly straddling a limb boundary —
+    all offsets static, so each plane is a couple of shifts and one AND."""
+    out = []
+    for t in range(D):
+        b0 = 7 * t
+        l0, off = divmod(b0, _LIMB_BITS)
+        if l0 >= L:
+            break
+        v = limbs[l0] >> off
+        if off > _LIMB_BITS - 7 and l0 + 1 < L:
+            v = v | (limbs[l0 + 1] << (_LIMB_BITS - off))
+        out.append((v & 127).astype(jnp.int8))
+    return out
+
+
+def _glm_core(ops, meta, a, b, mode: str):
+    """Unbatched core: a (L, M, K) @ b (L, K, N) planar u16 -> (L, M, N).
+
+    One stacked int8 MXU matmul per (K-block, A-digit): A_i (M, Kb) times
+    the j-concatenated B digits (Kb, D*N) — D matmuls per block instead of
+    D^2 (an unrolled D^2 = 1369-matmul graph for 16-limb fields is a
+    compile-time cliff, see CLAUDE.md). Diagonal sums s = i + j accumulate
+    with static slice-updates into a (M, 2D-1, N) buffer, are scattered
+    into base-2^16 columns of the exact integer product, high limbs fold
+    down with 2^(16*(2L-1)) mod p, and one Barrett reduction
+    (LimbPrimeOps._barrett_t) lands in [0, p)."""
+    from ..fields._meta import int_to_limbs
+
+    L = meta.storage_width
+    D = -(-(_LIMB_BITS * L) // 7)
+    M, K = a.shape[-2], a.shape[-1]
+    N = b.shape[-1]
+
+    au = [a[k].astype(jnp.uint32) for k in range(L)]
+    bu = [b[k].astype(jnp.uint32) for k in range(L)]
+
+    # per-diagonal int32 sums stay exact: <= D pairs, each <= 127^2 * Kb
+    kblk = max(1, (2**31 - 2**24) // (127 * 127 * D))
+    # top contribution sits at bit 7*(2D-2) and spans +32 bits
+    W16 = -(-(7 * (2 * D - 2) + 32) // _LIMB_BITS) + 1
+
+    cols = None
+    for k0 in range(0, K, kblk):
+        k1 = min(K, k0 + kblk)
+        a_pl = _digit_planes([x[:, k0:k1] for x in au], L, D)
+        b_pl = _digit_planes([x[k0:k1, :] for x in bu], L, D)
+        nD = len(a_pl)
+        Bt = jnp.stack(b_pl, axis=1).reshape(k1 - k0, nD * N)  # (Kb, D*N)
+        acc = jnp.zeros((M, 2 * nD - 1, N), jnp.int32)
+        for i in range(nD):
+            prod = jnp.matmul(a_pl[i], Bt, preferred_element_type=jnp.int32)
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc,
+                jax.lax.dynamic_slice_in_dim(acc, i, nD, axis=1)
+                + prod.reshape(M, nD, N),
+                i,
+                axis=1,
+            )
+        blk_cols = [None] * W16
+        for s in range(2 * nD - 1):
+            v = acc[:, s, :].astype(jnp.uint32)  # < 2^31 by kblk bound
+            q, r16 = divmod(7 * s, _LIMB_BITS)
+            v0 = (v & _MASK16) << r16          # < 2^31
+            v1 = (v >> _LIMB_BITS) << r16      # < 2^30
+            parts = (
+                (q, v0 & _MASK16),
+                (q + 1, (v0 >> _LIMB_BITS) + (v1 & _MASK16)),
+                (q + 2, v1 >> _LIMB_BITS),
+            )
+            for qq, pv in parts:
+                if qq < W16:
+                    blk_cols[qq] = pv if blk_cols[qq] is None else blk_cols[qq] + pv
+        zero = jnp.zeros((M, N), jnp.uint32)
+        blk_cols = [zero if c is None else c for c in blk_cols]
+        blk_cols = ops._carry_norm_t(blk_cols)  # sums < 2^21 -> planes < 2^16
+        if cols is None:
+            cols = blk_cols
+        else:
+            cols = ops._carry_norm_t([x + y for x, y in zip(cols, blk_cols)])
+
+    # fold limbs at/above 2L-1 down so the Barrett precondition x < b^(2L)
+    # holds with headroom
+    top = 2 * L - 1
+    while len(cols) > top:
+        hi, lo = cols[top:], list(cols[:top])
+        c_fold = np.asarray(
+            int_to_limbs(pow(2, _LIMB_BITS * top, meta.characteristic), L)
+        )
+        folded = list(ops._mul_const_t(hi, c_fold))  # normalized planes
+        width = max(len(lo), len(folded))
+        zero = jnp.zeros((M, N), jnp.uint32)
+        lo += [zero] * (width - len(lo))
+        folded += [zero] * (width - len(folded))
+        cols = ops._carry_norm_t([x + y for x, y in zip(lo, folded)])
+
+    zero = jnp.zeros((M, N), jnp.uint32)
+    cols = list(cols) + [zero] * (2 * L - len(cols))
+    r = ops._barrett_t(cols[: 2 * L])
+    return jnp.stack([jnp.broadcast_to(x, (M, N)) for x in r], axis=0).astype(a.dtype)
+
+
+def generic_limb_matmul(meta, a, b, mode: str = "jit-calculate"):
+    """a: (L, ..., M, K), b: (L, ..., K, N) planar uint16 limbs of a
+    large-prime field -> (L, ..., M, N), exact mod p. Leading batch axes
+    (after the limb axis) broadcast; a single-sided batch folds into the
+    matmul's M or N axis (one big MXU call, no vmap unrolling)."""
+    from ._kernels import get_ops
+
+    ops = get_ops(meta, mode)
+    nb_a, nb_b = a.ndim - 3, b.ndim - 3
+    if nb_a <= 0 and nb_b <= 0:
+        return _glm_core(ops, meta, a, b, mode)
+    if nb_a <= 0:
+        # b batched: C[t] = a @ b[t] -> concatenate b's batch along N
+        L, K, N = b.shape[0], b.shape[-2], b.shape[-1]
+        bt = np.prod(b.shape[1:-2], dtype=int)
+        b2 = jnp.moveaxis(b.reshape(L, bt, K, N), 2, 1).reshape(L, K, bt * N)
+        out = _glm_core(ops, meta, a, b2, mode)
+        M = a.shape[-2]
+        out = jnp.moveaxis(out.reshape(L, M, bt, N), 2, 1)
+        return out.reshape(b.shape[:-2] + (M, N))
+    if nb_b <= 0:
+        # a batched: C[t] = a[t] @ b -> concatenate a's batch along M
+        L, M, K = a.shape[0], a.shape[-2], a.shape[-1]
+        at = np.prod(a.shape[1:-2], dtype=int)
+        a2 = a.reshape(L, at * M, K)
+        out = _glm_core(ops, meta, a2, b, mode)
+        N = b.shape[-1]
+        return out.reshape(a.shape[:-1] + (N,))
+    # both batched: broadcast batch dims and vmap the core over one flat axis
+    bshape = jnp.broadcast_shapes(a.shape[1:-2], b.shape[1:-2])
+    L = a.shape[0]
+    a2 = jnp.broadcast_to(
+        a.reshape(a.shape[:1] + (1,) * (len(bshape) - (a.ndim - 3)) + a.shape[1:]),
+        (L,) + bshape + a.shape[-2:],
+    ).reshape(L, -1, *a.shape[-2:])
+    b2 = jnp.broadcast_to(
+        b.reshape(b.shape[:1] + (1,) * (len(bshape) - (b.ndim - 3)) + b.shape[1:]),
+        (L,) + bshape + b.shape[-2:],
+    ).reshape(L, -1, *b.shape[-2:])
+    out = jax.vmap(lambda x, y: _glm_core(ops, meta, x, y, mode), in_axes=1, out_axes=1)(
+        a2, b2
+    )
+    return out.reshape((L,) + bshape + (a.shape[-2], b.shape[-1]))
+
+
+def limb_matmul(meta, a, b):
+    """Dispatch: Goldilocks-specialized u64 path when it applies, else the
+    generic digit-plane path for any planar limb prime field."""
+    if supports(meta):
+        return goldilocks_matmul(meta, a, b)
+    return generic_limb_matmul(meta, a, b)
+
+
+def supports_any(meta) -> bool:
+    return supports(meta) or supports_generic(meta)

@@ -84,16 +84,16 @@ def _matmul_data(meta, mode, a, b, a_vec: bool, b_vec: bool):
         from ._binary_matmul import supports as bin_supports
         from ._digit_matmul import digit_matmul
         from ._digit_matmul import supports as dig_supports
-        from ._limb_matmul import goldilocks_matmul
-        from ._limb_matmul import supports as gold_supports
+        from ._limb_matmul import limb_matmul
+        from ._limb_matmul import supports_any as limb_supports
 
         K = a.shape[-1 - t_nd]
         if bin_supports(meta, K):
             out = binary_matmul(meta, a, b)
         elif dig_supports(meta, K):
             out = digit_matmul(meta, a, b)
-        elif gold_supports(meta):
-            out = goldilocks_matmul(meta, a, b)
+        elif limb_supports(meta):
+            out = limb_matmul(meta, a, b)
         else:
             out = _generic_matmul(ops, meta, a, b)
 

@@ -406,7 +406,7 @@ class MatmulFFTPlan(FFTPlan):
             # Goldilocks planar limb storage (w leading, rides as a batch
             # axis): same 4-step, MXU work via the 7-bit-plane goldilocks
             # matmul (ops/_limb_matmul.py).
-            from ._limb_matmul import goldilocks_matmul
+            from ._limb_matmul import limb_matmul
 
             batch = x.shape[:-1]  # includes the leading (w,)
             M = x.reshape(batch + (self.n1, self.n2))
@@ -414,12 +414,12 @@ class MatmulFFTPlan(FFTPlan):
                 Mt = jnp.swapaxes(M, -2, -1)  # (w, ..., n2, n1)
                 A = jnp.swapaxes(self.sub1.transform(Mt, t1), -2, -1)
             else:
-                A = goldilocks_matmul(self.meta, t1, M)
+                A = limb_matmul(self.meta,t1, M)
             B = self.ops.multiply(A, T)
             if self.sub2 is not None:
                 C = self.sub2.transform(B, t2)
             else:
-                C = goldilocks_matmul(self.meta, B, t2)
+                C = limb_matmul(self.meta,B, t2)
             X = jnp.swapaxes(C, -1, -2)  # (w, ..., k2, k1)
             return X.reshape(batch + (self.N,))
         batch = x.shape[:-1]
@@ -440,12 +440,12 @@ class MatmulFFTPlan(FFTPlan):
 
 @functools.lru_cache(maxsize=64)  # bounded: see codes/_decoder.py::make_decoder
 def _plan(meta: FieldMeta, N: int, omega_int: int, mode: str) -> FFTPlan:
-    from ._limb_matmul import supports as _gold_supports
+    from ._limb_matmul import supports_any as _limb_supports
 
     if (
         meta.is_prime_field
         and meta.characteristic > 2
-        and (meta.storage == "int" or _gold_supports(meta))
+        and (meta.storage == "int" or _limb_supports(meta))
     ):
         n1 = _matmul_split(N)
         if n1 is None and N > _MAX_BASE:
