@@ -226,21 +226,24 @@ def make_decoder(
             out = jnp.pad(out, ((0, 0), (0, out_len - full)))
         return out
 
-    def berlekamp_massey(Sp_shifted, u, B):
-        """Masked-scan BM over per-row syndromes already shifted so index 0
-        is the first unerased syndrome. The per-step window is ONE dynamic
-        slice of a zero-padded buffer (no per-row gathers — gathers lower
-        catastrophically on TPU); delta = dot(rev(C), ascending window)."""
+    def berlekamp_massey(Sp, u, B):
+        """Masked-scan BM over the modified syndromes S', starting at the
+        per-row offset u (the erasure count) — step t is a no-op while
+        t < u_b, and relative step indices are t - u_b, so NO per-row
+        shift/gather of the syndrome rows is needed (take_along_axis was
+        the erasure path's one real gather; gathers lower catastrophically
+        on TPU). The per-step window is ONE dynamic slice of a zero-padded
+        buffer; delta = dot(rev(C), ascending window)."""
         C0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
         Bp0 = jnp.zeros((B, d), dtype=dt).at[:, 0].set(1)
         L0 = jnp.zeros((B,), dtype=jnp.int32)
         bb0 = jnp.ones((B,), dtype=dt)
         # Z[:, d + j] = S'[j]; window [S'_{t-d+1} .. S'_t] = Z[:, t+1 : t+1+d]
-        Z = jnp.concatenate([jnp.zeros((B, d), dtype=dt), Sp_shifted], axis=1)
+        Z = jnp.concatenate([jnp.zeros((B, d), dtype=dt), Sp], axis=1)
 
         def bm_step(carry, t):
             C, Bp, L, bb = carry
-            active = t < (nroots - u)  # (B,)
+            active = t >= u  # (B,); rows with more erasures start later
             win = jax.lax.dynamic_slice_in_dim(Z, t + 1, d, axis=1)
             delta = field_dot(jnp.flip(C, axis=1), win, axis=1)  # (B,)
             # shift B first (maintains x^m * B implicitly)
@@ -248,10 +251,13 @@ def make_decoder(
             coef = ops.multiply(delta, ops.reciprocal(bb))
             C_new = ops.subtract(C, ops.multiply(Bp_shift, coef[:, None]))
             upd = active & (delta != 0)
-            grow = upd & (2 * L <= t)
-            Bp = jnp.where(grow[:, None], C, Bp_shift)
+            grow = upd & (2 * L <= t - u)
+            # inactive rows (t < u_b) must not pre-shift their B register
+            Bp = jnp.where(
+                active[:, None], jnp.where(grow[:, None], C, Bp_shift), Bp
+            )
             bb = jnp.where(grow, delta, bb)
-            L = jnp.where(grow, (t + 1 - L).astype(jnp.int32), L)
+            L = jnp.where(grow, (t - u + 1 - L).astype(jnp.int32), L)
             C = jnp.where(upd[:, None], C_new, C)
             return (C, Bp, L, bb), None
 
@@ -307,15 +313,10 @@ def make_decoder(
         # 3. modified syndromes S' = Gamma * S mod x^(d-1)
         Sp = conv_trunc(gamma, S, nroots)  # (B, d-1)
 
-        # 4. BM on S'[u:]: shift each row once so index 0 is S'[u_b] (one
-        #    gather for the whole decode), then run the sliced-window scan.
-        idx = jnp.minimum(u[:, None] + jnp.arange(nroots)[None, :], nroots - 1)
-        Sp_shifted = jnp.where(
-            jnp.arange(nroots)[None, :] < (nroots - u[:, None]),
-            jnp.take_along_axis(Sp, idx, axis=1),
-            0,
-        ).astype(dt)
-        C, v = berlekamp_massey(Sp_shifted, u, B)
+        # 4. BM on S'[u:]: the scan starts at per-row offset u directly
+        #    (no row shift — the former take_along_axis was the erasure
+        #    path's only gather).
+        C, v = berlekamp_massey(Sp, u, B)
 
         fail = fail | (2 * v + u > nroots)
 
