@@ -537,6 +537,15 @@ class FieldArray(Array):
         vdata = _convert_to_storage(cls, value)
         if self._storage_ndim():
             index = _expand_index(index, self.ndim, cls._storage_first())
+        if cls._storage_first():
+            # Planar limbs broadcast leading-aligned on the limb axis: pad
+            # the value's ELEMENT axes just under the leading (w,) so a
+            # scalar/(w,) value fills a (w, k) slice (a[0:2] = 1).
+            tgt = jax.eval_shape(lambda d: d[index], self._data).shape
+            if vdata.ndim < len(tgt):
+                vdata = vdata.reshape(
+                    vdata.shape[:1] + (1,) * (len(tgt) - vdata.ndim) + vdata.shape[1:]
+                )
         self._data = self._data.at[index].set(vdata)
 
     def reshape(self, *shape) -> "FieldArray":
@@ -639,6 +648,13 @@ class FieldArray(Array):
     def _binary(self, other, opname, reflected=False, for_multiply=False):
         if other is NotImplemented:
             return NotImplemented
+        if not isinstance(other, FieldArray) and not for_multiply:
+            # Reference contract: add/subtract/divide require BOTH operands
+            # in the field — a plain int/list/ndarray operand is a
+            # TypeError, not an implicit coercion (multiplication is the
+            # one exception: an integer operand means repeated addition).
+            # Reference: src/galois/_domains/_ufunc.py:200-205.
+            return NotImplemented
         try:
             o = self._coerce(other, for_multiply=for_multiply)
         except (TypeError, ValueError):
@@ -666,6 +682,8 @@ class FieldArray(Array):
         return self._binary(other, "multiply", reflected=True, for_multiply=True)
 
     def __truediv__(self, other):
+        if not isinstance(other, FieldArray):
+            return NotImplemented  # same-field contract, see _binary
         o = self._coerce(other)
         _check_div_by_zero(o)
         return self._binary(o, "divide")
@@ -990,12 +1008,21 @@ class FieldArray(Array):
         return matmul(self, o)
 
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
-        if method == "reduce" and ufunc.__name__ in ("add", "multiply"):
+        if method == "reduce" and ufunc.__name__ in ("add", "multiply") and not kwargs.get("keepdims"):
             recv = next(x for x in inputs if isinstance(x, FieldArray))
             return recv._reduce(ufunc.__name__, kwargs.get("axis", None))
         if method != "__call__":
-            return _ufunc_reduce(self, ufunc, method, *inputs, **kwargs)
+            return _ufunc_method(self, ufunc, method, *inputs, **kwargs)
         name = ufunc.__name__
+        if name in ("add", "subtract", "true_divide", "divide", "floor_divide"):
+            # same-field contract (see _binary): int scalars/arrays raise
+            if not all(isinstance(x, FieldArray) for x in inputs):
+                raise TypeError(
+                    f"Operation {name!r} requires both operands to be instances of "
+                    f"{type(self).name}, not {[type(x).__name__ for x in inputs]}. "
+                    "Integer operands are only allowed for 'multiply' (repeated "
+                    "addition) and 'power'."
+                )
         handlers = {
             "add": lambda a, b: a._binary(b, "add"),
             "subtract": lambda a, b: a._binary(b, "subtract"),
@@ -1224,12 +1251,13 @@ def _parse_host(cls, x) -> np.ndarray:
     elif isinstance(x, np.ndarray):
         if x.dtype == object or np.issubdtype(x.dtype, np.integer):
             arr = x.astype(object)
-        elif np.issubdtype(x.dtype, np.floating):
-            if not np.all(np.mod(x, 1) == 0):
-                raise TypeError(f"{cls.name} arrays must have integer values.")
-            arr = x.astype(np.int64).astype(object)
         else:
-            raise TypeError(f"{cls.name} arrays must be integer-valued, not {x.dtype}.")
+            # Float dtypes are rejected CATEGORICALLY (even whole-valued) —
+            # reference contract: tests/fields/test_assignment.py requires
+            # a[0:2] = np.array([1.0, 1]) to raise TypeError.
+            raise TypeError(
+                f"{cls.name} arrays must have integer dtypes, not {x.dtype}."
+            )
     elif isinstance(x, FieldArray):
         arr = np.asarray(x).astype(object)
     else:
@@ -1272,10 +1300,55 @@ def _check_div_by_zero(x: "FieldArray"):
         raise ZeroDivisionError("Cannot compute the multiplicative inverse of 0 in a Galois field.")
 
 
-def _ufunc_reduce(self, ufunc, method, *inputs, **kwargs):
-    raise NotImplementedError(
-        f"NumPy ufunc method {method!r} is not supported on FieldArrays."
-    )
+def _ufunc_method(self, ufunc, method, *inputs, **kwargs):
+    """reduce / accumulate / reduceat / outer / at for the four arithmetic
+    ufuncs (reference: tests/fields/test_numpy_ufuncs.py). These are
+    utility paths, not hot loops, so they run on exact host integers via a
+    real np.frompyfunc ufunc — every NumPy method semantics (axis,
+    indices, in-place `at`) comes for free and divide-by-zero raises from
+    the host field. add/multiply `reduce` stays on the device tree path
+    (__array_ufunc__ above)."""
+    name = ufunc.__name__
+    if name in ("true_divide", "floor_divide", "divide"):
+        opname = "divide"
+    elif name in ("add", "subtract", "multiply"):
+        opname = name
+    else:
+        raise ValueError(
+            f"Ufunc method {method!r} is not supported on {name!r}. "
+            "Only '__call__' is supported."
+        )
+    if method not in ("reduce", "accumulate", "reduceat", "outer", "at"):
+        raise ValueError(
+            f"Ufunc method {method!r} is not supported on {name!r}. "
+            "Only '__call__' is supported."
+        )
+    cls = type(self)
+    from ._hostfield import get_host_field
+
+    hf = get_host_field(cls._meta)
+    fn = np.frompyfunc(getattr(hf, opname), 2, 1)
+
+    def conv(x):
+        return np.asarray(cls(x) if not isinstance(x, FieldArray) else x, dtype=object)
+
+    if method == "at":
+        a, idx = inputs[0], inputs[1]
+        arr = conv(a)
+        if len(inputs) > 2:
+            fn.at(arr, idx, conv(inputs[2]))
+        else:
+            fn.at(arr, idx)
+        a[...] = cls(arr)  # write back: numpy's `at` mutates in place
+        return None
+    if method == "reduceat":
+        a, idx = inputs[0], np.asarray(inputs[1], dtype=np.intp)
+        out = fn.reduceat(conv(a), idx, **kwargs)
+    elif method == "outer":
+        out = fn.outer(conv(inputs[0]), conv(inputs[1]), **kwargs)
+    else:  # reduce / accumulate
+        out = getattr(fn, method)(conv(inputs[0]), **kwargs)
+    return cls(out if isinstance(out, np.ndarray) else int(out))
 
 
 # ----------------------------------------------------------------------

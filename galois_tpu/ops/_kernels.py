@@ -1283,7 +1283,10 @@ class LimbBinaryOps(_PlanarTupleMixin, FieldOps):
         self.PL = -(-(2 * self.m - 1) // LIMB_BITS)
 
     def add(self, a, b):
-        return a ^ b
+        # via the tuple protocol: mixed-rank planar operands ((w,) scalar
+        # vs (w, ...) array) must broadcast on ELEMENT axes, which a raw
+        # storage XOR (trailing-aligned) gets wrong
+        return self.join_limbs(self.add_t(self.split_limbs(a), self.split_limbs(b)))
 
     subtract = add
 

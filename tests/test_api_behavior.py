@@ -89,8 +89,10 @@ def test_broadcasting_and_scalars():
     assert z.shape == (2, 3)
     s = GF(5)
     assert s.ndim == 0
-    assert int(s + 3) == 8
-    assert int(3 + s) == 8
+    assert int(s + GF(3)) == 8
+    # reference contract: add with plain ints raises (test_behavioral_matrix)
+    with pytest.raises(TypeError):
+        s + 3
     # integer multiply = repeated addition (mod p)
     assert int(s * 100) == (5 * (100 % 31)) % 31
     out = x[0, 1]
