@@ -16,6 +16,10 @@ import time
 
 import numpy as np
 
+# `python benchmarks/bench_scaling.py` puts benchmarks/ (not the repo root)
+# on sys.path; the package is not installed, so add the root explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if os.environ.get("GALOIS_TPU_BENCH_CPU"):
     # Same dev knob as bench.py: shell-level JAX_PLATFORMS=cpu does NOT
     # reliably keep a script off the axon tunnel; only the config update does.

@@ -1099,6 +1099,9 @@ class LimbPrimeOps(_PlanarTupleMixin, FieldOps):
     def _fold_diagonals(self, P, shape, M: np.ndarray):
         """Sum u32 products (< 2^32) over anti-diagonals with exact 7-bit
         int8 -> int32 MXU matmuls (same plane trick as ops/_limb_matmul.py).
+        u8 planes would halve the plane count but a large u8-matmul graph
+        put the remote Mosaic compile into a >20-min spin (round-4 probe) —
+        int8 stays.
         P: (T, *shape) after splitting lo/hi; M: (ncols, 2T) host 0/1."""
         T = P.shape[0] * P.shape[1] if P.ndim - len(shape) == 2 else P.shape[0]
         flat = P.reshape(T, -1)

@@ -128,6 +128,10 @@ def supports_generic(meta) -> bool:
     return meta.storage == "limbs" and meta.is_prime_field
 
 
+_DIGIT_BITS = 7  # s8 7-bit digits: a large u8-matmul graph spins the
+# remote Mosaic compile >20 min (round-4 probe), so int8 stays
+
+
 def _digit_planes(limbs, L: int, D: int):
     """Planar u16 limb list (u32 planes) -> D exact 7-bit int8 digit planes.
 
@@ -160,7 +164,7 @@ def _glm_core(ops, meta, a, b, mode: str):
     from ..fields._meta import int_to_limbs
 
     L = meta.storage_width
-    D = -(-(_LIMB_BITS * L) // 7)
+    D = -(-(_LIMB_BITS * L) // _DIGIT_BITS)
     M, K = a.shape[-2], a.shape[-1]
     N = b.shape[-1]
 
@@ -169,8 +173,8 @@ def _glm_core(ops, meta, a, b, mode: str):
 
     # per-diagonal int32 sums stay exact: <= D pairs, each <= 127^2 * Kb
     kblk = max(1, (2**31 - 2**24) // (127 * 127 * D))
-    # top contribution sits at bit 7*(2D-2) and spans +32 bits
-    W16 = -(-(7 * (2 * D - 2) + 32) // _LIMB_BITS) + 1
+    # top contribution sits at bit 8*(2D-2) and spans +32 bits
+    W16 = -(-(_DIGIT_BITS * (2 * D - 2) + 32) // _LIMB_BITS) + 1
 
     cols = None
     for k0 in range(0, K, kblk):
@@ -192,7 +196,7 @@ def _glm_core(ops, meta, a, b, mode: str):
         blk_cols = [None] * W16
         for s in range(2 * nD - 1):
             v = acc[:, s, :].astype(jnp.uint32)  # < 2^31 by kblk bound
-            q, r16 = divmod(7 * s, _LIMB_BITS)
+            q, r16 = divmod(_DIGIT_BITS * s, _LIMB_BITS)
             v0 = (v & _MASK16) << r16          # < 2^31
             v1 = (v >> _LIMB_BITS) << r16      # < 2^30
             parts = (

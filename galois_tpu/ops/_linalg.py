@@ -151,25 +151,51 @@ def _prime_matmul(a, b, p, K, meta):
     return acc.astype(a.dtype)
 
 
-_PLANE_BITS = 7
+_PLANE_BITS = 8
 _PLANE_BASE = 1 << _PLANE_BITS
+_PLANE_MAXD = _PLANE_BASE // 2  # balanced digit magnitude bound (128)
+
+
+def _balanced_planes(x64, p, n_planes):
+    """Signed balanced base-256 digit planes of the SYMMETRIC residue.
+
+    x in [0, p) maps to x' = x - p*(x > p//2) with |x'| <= p/2 < 2^31, then
+    x' = sum d_i 256^i with d_i in [-128, 127] — four s8 digits cover ANY
+    p < 2^32 (vs five 7-bit digits), cutting a 31/32-bit prime's plane-pair
+    matmuls from 25 to 16. The s8 path is the one the MXU provably compiles
+    and runs fast; a plain-u8 variant ran at int8 speed but put the remote
+    Mosaic compile into a >20-minute spin on the 2^24 NTT graph (round-4
+    probe), so unsigned 8-bit planes are out."""
+    xs = jnp.where(x64 > (p // 2), x64 - p, x64)  # int64, symmetric residue
+    out = []
+    for _ in range(n_planes):
+        d = ((xs + 128) & 255) - 128
+        out.append(d.astype(jnp.int8))
+        xs = (xs - d) >> 8  # exact: (xs - d) is divisible by 256
+    return out
 
 
 def _prime_matmul_planes(a, b, p, K):
-    n_planes = -(-max(1, (p - 1).bit_length()) // _PLANE_BITS)
-    # int32 accumulation is exact while K*127^2 < 2^31
-    max_block = (2**31 - 1) // ((_PLANE_BASE - 1) ** 2)
+    # smallest digit count whose all-127 value covers the symmetric-residue
+    # magnitude p/2 (primes within 0.4% of 2^32 need a 5th digit: the top
+    # balanced digit caps at +127, not +128)
+    n_planes = 1
+    while 127 * ((_PLANE_BASE**n_planes - 1) // (_PLANE_BASE - 1)) < p // 2:
+        n_planes += 1
+    # int32 accumulation is exact while K*128^2 < 2^31
+    max_block = (2**31 - 1) // (_PLANE_MAXD**2)
     # int64 extraction: values up to p-1 can exceed int32 for p near 2^32
     a64 = a.astype(jnp.int64)
     b64 = b.astype(jnp.int64)
-    a_planes = [((a64 >> (_PLANE_BITS * i)) & (_PLANE_BASE - 1)).astype(jnp.int8) for i in range(n_planes)]
-    b_planes = [((b64 >> (_PLANE_BITS * j)) & (_PLANE_BASE - 1)).astype(jnp.int8) for j in range(n_planes)]
-    # Deferred-mod fast path: each plane product is <= K*127^2 and each
-    # shift < p, so when the worst-case weighted sum fits in int63 we can
-    # accumulate every term raw and reduce mod p exactly once (64-bit mod is
-    # emulated on TPU — doing it once per output instead of once per plane
-    # pair matters).
-    if n_planes * n_planes * K * (_PLANE_BASE - 1) ** 2 * (p - 1) < 2**63:
+    a_planes = _balanced_planes(a64, p, n_planes)
+    b_planes = _balanced_planes(b64, p, n_planes)
+    # Deferred-mod fast path: each plane product magnitude is <= K*128^2 and
+    # each shift < p, so when the worst-case weighted sum fits in int63 we
+    # can accumulate every (signed) term raw and reduce mod p exactly once —
+    # jnp's % takes the divisor's sign, so negative accumulators land in
+    # [0, p) (64-bit mod is emulated on TPU; doing it once per output
+    # instead of once per plane pair matters).
+    if n_planes * n_planes * K * _PLANE_MAXD**2 * (p - 1) < 2**62:
         acc = None
         for i in range(n_planes):
             for j in range(n_planes):
