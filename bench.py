@@ -394,10 +394,12 @@ def _run(gt, get_ops, platform, results):
         results["gf243_error"] = str(e)[:200]
 
     # --- GF(2^8) reciprocal (config 1: inv; default jit-calculate mode —
-    # lookup VMEM-gather kernels close most of the gap now) ---
+    # lookup VMEM-gather kernels close most of the gap now). Chained:
+    # the ~2 ms single op rides the tunnel floor's own jitter (the r3->r4
+    # single-call readings swung 12.8 -> 4.9 Gops/s on the same kernel).
     ops = get_ops(meta, "jit-calculate")
-    t = corrected(time_call(jax.jit(ops.reciprocal), a, reps=3, warmup=1))
-    results["gf256_recip_gops"] = N / t / 1e9 if t else "unresolvable" 
+    t = time_chained(lambda acc, _b: ops.reciprocal(acc), a, b)
+    results["gf256_recip_gops"] = N / t / 1e9
 
     # --- Goldilocks batched poly eval (config 2) ---
     try:

@@ -151,6 +151,32 @@ def _digit_planes(limbs, L: int, D: int):
 
 
 def _glm_core(ops, meta, a, b, mode: str):
+    """Chunk the output columns so the int32 digit-product intermediates
+    stay bounded: at N = M = 2048 (the BLS 2^22 NTT side) the unchunked
+    (M, D*N) int32 product is ~620 MB live per A-digit and the device
+    OOMs (round-4 bench: 16.02G/15.75G HBM). Chunks run under lax.map so
+    only ONE chunk's intermediates are live at a time — a Python loop of
+    independent chunks let the scheduler overlap them and still OOM'd."""
+    L = meta.storage_width
+    D = -(-(_LIMB_BITS * L) // _DIGIT_BITS)
+    M, N = a.shape[-2], b.shape[-1]
+    nc = max(128, (128 * 2**20) // max(1, 4 * M * D))
+    nc = 1 << (nc.bit_length() - 1)  # power of two: divides any pow2 N
+    if N <= nc:
+        return _glm_core_block(ops, meta, a, b, mode)
+    if N % nc == 0:
+        nch = N // nc
+        bs = jnp.moveaxis(b.reshape(b.shape[:-1] + (nch, nc)), -2, 0)
+        out = jax.lax.map(lambda bb: _glm_core_block(ops, meta, a, bb, mode), bs)
+        return jnp.moveaxis(out, 0, -2).reshape(out.shape[1:-1] + (N,))
+    outs = [
+        _glm_core_block(ops, meta, a, b[..., n0 : min(N, n0 + nc)], mode)
+        for n0 in range(0, N, nc)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _glm_core_block(ops, meta, a, b, mode: str):
     """Unbatched core: a (L, M, K) @ b (L, K, N) planar u16 -> (L, M, N).
 
     One stacked int8 MXU matmul per (K-block, A-digit): A_i (M, Kb) times

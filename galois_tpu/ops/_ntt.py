@@ -397,15 +397,38 @@ class MatmulFFTPlan(FFTPlan):
         t2 = self.sub2._host_tables() if self.sub2 is not None else jnp.asarray(self.W2)
         return (t1, jnp.asarray(self.T), t2)
 
+    def _twiddle_mul(self, A, T):
+        """Elementwise twiddle multiply, chunked for wide-limb fields.
+
+        A w-limb elementwise multiply materializes a (w, w, N) digit outer
+        product inside _mul_full_t — for the BLS12-381 field at 2^22 that
+        is a 4.3 GB intermediate and the transform OOMs HBM (round-4
+        probe: 16.74/15.75 GB). lax.map over row blocks keeps one block's
+        intermediates live at a time; small-limb fields (Goldilocks w=4)
+        keep the single fused multiply."""
+        w = self.meta.storage_width
+        n1 = A.shape[-2]
+        elems = int(np.prod(A.shape[1:], dtype=np.int64))
+        if w <= 4 or w * w * elems * 4 <= 2**30 or A.shape[1:] != T.shape[1:]:
+            return self.ops.multiply(A, T)
+        rows = max(1, 2**30 // (w * w * (elems // n1) * 4))
+        rows = 1 << (rows.bit_length() - 1)
+        if n1 % rows or n1 // rows <= 1:
+            return self.ops.multiply(A, T)
+        nch = n1 // rows
+        As = jnp.moveaxis(A.reshape(A.shape[:-2] + (nch, rows) + A.shape[-1:]), -3, 0)
+        Ts = jnp.moveaxis(T.reshape(T.shape[:-2] + (nch, rows) + T.shape[-1:]), -3, 0)
+        out = jax.lax.map(lambda ab: self.ops.multiply(ab[0], ab[1]), (As, Ts))
+        return jnp.moveaxis(out, 0, -3).reshape(A.shape)
+
     def transform(self, x: jnp.ndarray, tables=None) -> jnp.ndarray:
         from ._linalg import _prime_matmul
 
         t1, T, t2 = tables if tables is not None else self._host_tables()
         p = self.meta.characteristic
         if self.meta.storage != "int":
-            # Goldilocks planar limb storage (w leading, rides as a batch
-            # axis): same 4-step, MXU work via the 7-bit-plane goldilocks
-            # matmul (ops/_limb_matmul.py).
+            # Planar limb storage (w leading, rides as a batch axis): same
+            # 4-step, MXU work via the limb matmul (ops/_limb_matmul.py).
             from ._limb_matmul import limb_matmul
 
             batch = x.shape[:-1]  # includes the leading (w,)
@@ -414,8 +437,8 @@ class MatmulFFTPlan(FFTPlan):
                 Mt = jnp.swapaxes(M, -2, -1)  # (w, ..., n2, n1)
                 A = jnp.swapaxes(self.sub1.transform(Mt, t1), -2, -1)
             else:
-                A = limb_matmul(self.meta,t1, M)
-            B = self.ops.multiply(A, T)
+                A = limb_matmul(self.meta, t1, M)
+            B = self._twiddle_mul(A, T)
             if self.sub2 is not None:
                 C = self.sub2.transform(B, t2)
             else:
