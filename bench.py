@@ -453,7 +453,7 @@ def _run(gt, get_ops, platform, results):
             omega24 = _get_omega(GFn, 2**24)
             plan24p = _plan(GFn._meta, 2**24, omega24, "jit-calculate")
             xs24 = _dev_rand_u32(2**24, 8) % jnp.uint32(pn)
-            t = corrected(time_call(_fft_jit(plan24p), xs24, reps=2))
+            t = corrected(time_call(_fft_jit(plan24p), xs24, reps=3))
             results["ntt_2^24_ms"] = t * 1e3 if t else "unresolvable"
             results["ntt_2^24_xforms_per_s"] = 1.0 / t if t else "unresolvable" 
     except Exception as e:  # pragma: no cover
@@ -526,7 +526,7 @@ def _run(gt, get_ops, platform, results):
             x22 = jnp.asarray(
                 rng.integers(0, 2**16, (GFg3._meta.storage_width, 2**22), dtype=np.int64).astype(np.uint16)
             )
-            t = time_call(_fj(plan22), x22, reps=2, warmup=1)
+            t = time_call(_fj(plan22), x22, reps=3, warmup=1)
             tc = corrected(t)
             results["goldilocks_ntt_2^22_ms"] = tc * 1e3 if tc else "unresolvable" 
             # 2^24 rides the MXU 4-step goldilocks plan (no giant
@@ -536,7 +536,7 @@ def _run(gt, get_ops, platform, results):
             x24 = jnp.asarray(
                 rng.integers(0, 2**16, (GFg3._meta.storage_width, 2**24), dtype=np.int64).astype(np.uint16)
             )
-            t = time_call(_fj(plan24), x24, reps=2, warmup=1)
+            t = time_call(_fj(plan24), x24, reps=3, warmup=1)
             tc = corrected(t)
             results["goldilocks_ntt_2^24_ms"] = tc * 1e3 if tc else "unresolvable" 
     except Exception as e:  # pragma: no cover
@@ -560,7 +560,7 @@ def _run(gt, get_ops, platform, results):
                 # device-born planar limbs < 2^254 < r (top limb masked)
                 xb = _dev_rand_u32(wL * 2**lg, 41).astype(jnp.uint16).reshape(wL, 2**lg)
                 xb = xb.at[wL - 1].set(xb[wL - 1] & jnp.uint16(0x3FFF))
-                t = time_call(_fjb(planb), xb, reps=2, warmup=1)
+                t = time_call(_fjb(planb), xb, reps=3, warmup=1)
                 tc = corrected(t)
                 results[f"bls381_ntt_2^{lg}_ms"] = tc * 1e3 if tc else "unresolvable"
     except Exception as e:  # pragma: no cover

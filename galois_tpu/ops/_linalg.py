@@ -122,17 +122,21 @@ def _gf2_matmul(a, b, K):
     return acc.astype(a.dtype)
 
 
-def _prime_matmul(a, b, p, K, meta):
+def _prime_matmul(a, b, p, K, meta, a_planes=None, b_planes=None):
     """Exact prime-field matmul.
 
-    TPU: 7-bit plane decomposition onto the int8 MXU — A = sum_i A_i 128^i,
-    C = sum_{i,j} (A_i @ B_j) 128^(i+j) mod p, with each plane product
-    accumulated exactly in int32 (TPU cannot lower 64-bit dot_general; this
-    is the MXU-native analogue of the reference's exact-float BLAS trick,
-    src/galois/_domains/_linalg.py:21-75).
+    TPU: balanced signed 8-bit plane decomposition onto the int8 MXU with
+    exact int32 accumulation (TPU cannot lower 64-bit dot_general; this is
+    the MXU-native analogue of the reference's exact-float BLAS trick,
+    src/galois/_domains/_linalg.py:21-75). A static operand's planes can
+    be passed precomputed (`a_planes`/`b_planes`, stacked int8 — the NTT
+    plans ship their DFT tables this way so runtime extraction only pays
+    for the data side).
 
     CPU: exact int64 matmul with K-blocking so block sums stay < 2^62.
     """
+    if a_planes is not None or b_planes is not None:
+        return _prime_matmul_planes(a, b, p, K, a_planes=a_planes, b_planes=b_planes)
     if jax.default_backend() == "tpu" or (p - 1) ** 2 * K >= 2**62:
         # Plane path also serves CPU when int64 accumulation would overflow.
         return _prime_matmul_planes(a, b, p, K)
@@ -175,20 +179,45 @@ def _balanced_planes(x64, p, n_planes):
     return out
 
 
-def _prime_matmul_planes(a, b, p, K):
-    # smallest digit count whose all-127 value covers the symmetric-residue
-    # magnitude p/2 (primes within 0.4% of 2^32 need a 5th digit: the top
-    # balanced digit caps at +127, not +128)
+def balanced_plane_count(p: int) -> int:
+    """Smallest digit count whose all-127 value covers the symmetric-residue
+    magnitude p/2 (primes within 0.4% of 2^32 need a 5th digit: the top
+    balanced digit caps at +127, not +128)."""
     n_planes = 1
     while 127 * ((_PLANE_BASE**n_planes - 1) // (_PLANE_BASE - 1)) < p // 2:
         n_planes += 1
+    return n_planes
+
+
+def balanced_planes_np(x: np.ndarray, p: int) -> np.ndarray:
+    """Host-side _balanced_planes: (n_planes, *x.shape) int8 NumPy stack,
+    for precomputing a static matmul operand's planes at plan-build time."""
+    xs = x.astype(np.int64)
+    xs = np.where(xs > p // 2, xs - p, xs)
+    out = []
+    for _ in range(balanced_plane_count(p)):
+        d = ((xs + 128) & 255) - 128
+        out.append(d.astype(np.int8))
+        xs = (xs - d) >> 8
+    return np.stack(out)
+
+
+def _prime_matmul_planes(a, b, p, K, a_planes=None, b_planes=None):
+    n_planes = balanced_plane_count(p)
     # int32 accumulation is exact while K*128^2 < 2^31
     max_block = (2**31 - 1) // (_PLANE_MAXD**2)
     # int64 extraction: values up to p-1 can exceed int32 for p near 2^32
-    a64 = a.astype(jnp.int64)
-    b64 = b.astype(jnp.int64)
-    a_planes = _balanced_planes(a64, p, n_planes)
-    b_planes = _balanced_planes(b64, p, n_planes)
+    a_planes = (
+        _balanced_planes(a.astype(jnp.int64), p, n_planes)
+        if a_planes is None
+        else [a_planes[i] for i in range(n_planes)]
+    )
+    b_planes = (
+        _balanced_planes(b.astype(jnp.int64), p, n_planes)
+        if b_planes is None
+        else [b_planes[i] for i in range(n_planes)]
+    )
+    out_dt = (b if a is None else a).dtype
     # Deferred-mod fast path: each plane product magnitude is <= K*128^2 and
     # each shift < p, so when the worst-case weighted sum fits in int63 we
     # can accumulate every (signed) term raw and reduce mod p exactly once —
@@ -209,7 +238,7 @@ def _prime_matmul_planes(a, b, p, K):
                     ).astype(jnp.int64)
                     term = blk * shift
                     acc = term if acc is None else acc + term
-        return (acc % p).astype(a.dtype)
+        return (acc % p).astype(out_dt)
     acc = None
     for i in range(n_planes):
         for j in range(n_planes):
@@ -231,7 +260,7 @@ def _prime_matmul_planes(a, b, p, K):
             s_hi, s_lo = divmod(shift, 1 << 16)
             term = ((part * s_hi) % p * (1 << 16) + part * s_lo) % p
             acc = term if acc is None else (acc + term) % p
-    return acc.astype(a.dtype)
+    return acc.astype(out_dt)
 
 
 def _generic_matmul(ops, meta, a, b):

@@ -380,6 +380,19 @@ class MatmulFFTPlan(FFTPlan):
         t_n2 = np.arange(self.n2).reshape(1, -1)
         self.T = self._gather((t_k1 * t_n2) % N)  # (N1, N2)
 
+    def _table_repr(self, W, to_dev: bool):
+        """Direct DFT table in the form transform consumes: int-storage
+        prime fields ship PRECOMPUTED balanced int8 planes (runtime then
+        only extracts the data operand's planes — at 2^24 the per-call
+        int64 extraction of two 4096^2 tables was pure overhead); other
+        storages ship the raw table."""
+        if self.meta.storage == "int" and self.meta.is_prime_field:
+            from ._linalg import balanced_planes_np
+
+            pl = balanced_planes_np(W, self.meta.characteristic)
+            return {"pl": jax.device_put(pl) if to_dev else jnp.asarray(pl)}
+        return jax.device_put(W) if to_dev else jnp.asarray(W)
+
     def device_tables(self):
         if not _trace_state_clean():
             # First call under an outer trace would cache TRACERS in this
@@ -387,14 +400,22 @@ class MatmulFFTPlan(FFTPlan):
             # uncached trace-local constants instead.
             return self._host_tables()
         if getattr(self, "_dev_tables", None) is None:
-            t1 = self.sub1.device_tables() if self.sub1 is not None else jax.device_put(self.W1)
-            t2 = self.sub2.device_tables() if self.sub2 is not None else jax.device_put(self.W2)
+            t1 = (
+                self.sub1.device_tables()
+                if self.sub1 is not None
+                else self._table_repr(self.W1, True)
+            )
+            t2 = (
+                self.sub2.device_tables()
+                if self.sub2 is not None
+                else self._table_repr(self.W2, True)
+            )
             self._dev_tables = (t1, jax.device_put(self.T), t2)
         return self._dev_tables
 
     def _host_tables(self):
-        t1 = self.sub1._host_tables() if self.sub1 is not None else jnp.asarray(self.W1)
-        t2 = self.sub2._host_tables() if self.sub2 is not None else jnp.asarray(self.W2)
+        t1 = self.sub1._host_tables() if self.sub1 is not None else self._table_repr(self.W1, False)
+        t2 = self.sub2._host_tables() if self.sub2 is not None else self._table_repr(self.W2, False)
         return (t1, jnp.asarray(self.T), t2)
 
     def _twiddle_mul(self, A, T):
@@ -450,11 +471,15 @@ class MatmulFFTPlan(FFTPlan):
         if self.sub1 is not None:
             Mt = jnp.swapaxes(M, -1, -2)  # (..., n2, n1)
             A = jnp.swapaxes(self.sub1.transform(Mt, t1), -1, -2)
+        elif isinstance(t1, dict):
+            A = _prime_matmul(None, M, p, self.n1, self.meta, a_planes=t1["pl"])
         else:
             A = _prime_matmul(t1, M, p, self.n1, self.meta)
         B = self.ops.multiply(A, T)
         if self.sub2 is not None:
             C = self.sub2.transform(B, t2)
+        elif isinstance(t2, dict):
+            C = _prime_matmul(B, None, p, self.n2, self.meta, b_planes=t2["pl"])
         else:
             C = _prime_matmul(B, t2, p, self.n2, self.meta)
         X = jnp.swapaxes(C, -1, -2)  # (..., k2, k1) -> flat index k1 + N1*k2
