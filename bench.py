@@ -543,10 +543,11 @@ def _run(gt, get_ops, platform, results):
         results["ntt_goldilocks_error"] = str(e)[:200]
 
     # --- BLS12-381 scalar-field NTT (config 5 single-chip leg; SURVEY M6:
-    # "2^24-point NTT over a [16-limb] field"). 2^20 and 2^22 here: the
-    # 2^24 plan's three (16, 4096, 4096)-u16 tables are 1.6 GB of
-    # host->device transfer over the axon tunnel (minutes, fragile); the
-    # size limit is the table SHIP, not HBM — documented per verdict #3.
+    # "2^24-point NTT over a [16-limb] field"). 2^24 became runnable once
+    # MatmulFFTPlan grew factored tables: the plan ships three ~(16, 4096)
+    # power ladders (a few hundred KB) and builds the 1.5 GB of W1/T/W2
+    # tables ON DEVICE (ops/_ntt.py::_factored_build), so the old 1.6 GB
+    # tunnel ship that kept 2^24 off the round-4 record is gone.
     try:
         if platform == "tpu":
             from galois_tpu.ops._ntt import _fft_jit as _fjb, _get_omega as _gob, _plan as _plb
@@ -554,7 +555,12 @@ def _run(gt, get_ops, platform, results):
             r_bls = 52435875175126190479447740508185965837690552500527637822603658699938581184513
             GFb = gt.GF(r_bls)
             wL = GFb._meta.storage_width  # 16
-            for lg in (20, 22):
+            for lg in (20, 22, 24):
+                if lg == 24:
+                    # free every earlier NTT plan's device tables before the
+                    # 1.5 GB 2^24 table build (plans pin HBM via _dev_tables)
+                    _fjb.cache_clear()
+                    _plb.cache_clear()
                 omb = _gob(GFb, 2**lg)
                 planb = _plb(GFb._meta, 2**lg, omb, "jit-calculate")
                 # device-born planar limbs < 2^254 < r (top limb masked)

@@ -355,9 +355,21 @@ class MatmulFFTPlan(FFTPlan):
         hf = get_host_field(meta)
         if hf.power(omega_int, N) != 1:
             raise ValueError("omega must be an N-th root of unity.")
-        self.pw = self._build_power_table(hf, omega_int, N)
         self.n1 = n1
         self.n2 = N // n1
+        # Factored-table mode (planar limb storage): the direct W1/T/W2
+        # tables at N = 2^24 for a 16-limb field are three (16, 4096, 4096)
+        # arrays — ~1.6 GB of host build + tunnel ship, which is what kept
+        # BLS12-381 off the 2^24 record in round 4's first capture. The
+        # Vandermonde structure factors every table through <= 4096-length
+        # power ladders: W1[k,j] = (w^n2)^(kj mod n1), W2[i,k] =
+        # (w^n1)^(ik mod n2), and T[k,j] = w^(kj) = (w^n2)^q * w^r with
+        # kj = q*n2 + r — so the plan ships three ~(w, 4096)-u16 ladders
+        # (a few hundred KB) and a one-shot jitted builder gathers and
+        # multiplies the full tables ON DEVICE (device_tables).
+        self.factored = meta.storage == "limbs"
+        if not self.factored:
+            self.pw = self._build_power_table(hf, omega_int, N)
         # Each side is either a direct DFT matmul (factor <= _RECURSE_ABOVE)
         # or its own recursive 6-step sub-plan over omega^(N/factor).
         self.sub1 = self.sub2 = None
@@ -365,20 +377,81 @@ class MatmulFFTPlan(FFTPlan):
         s1 = _balanced_split(n1) if n1 > _RECURSE_ABOVE else None
         if s1 is not None:
             self.sub1 = MatmulFFTPlan(meta, n1, hf.power(omega_int, self.n2), mode, s1)
-        else:
+        elif not self.factored:
             k1 = np.arange(n1).reshape(-1, 1)
             j1 = np.arange(n1).reshape(1, -1)
             self.W1 = self._gather((self.n2 * k1 * j1) % N)  # (N1, N1)
         s2 = _balanced_split(self.n2) if self.n2 > _RECURSE_ABOVE else None
         if s2 is not None:
             self.sub2 = MatmulFFTPlan(meta, self.n2, hf.power(omega_int, n1), mode, s2)
-        else:
+        elif not self.factored:
             n2i = np.arange(self.n2).reshape(-1, 1)
             k2 = np.arange(self.n2).reshape(1, -1)
             self.W2 = self._gather((self.n1 * n2i * k2) % N)  # (N2, N2)
-        t_k1 = np.arange(n1).reshape(-1, 1)
-        t_n2 = np.arange(self.n2).reshape(1, -1)
-        self.T = self._gather((t_k1 * t_n2) % N)  # (N1, N2)
+        if self.factored:
+            # lad_hi doubles as the W1 ladder (omega^n2, length n1); lad_lo
+            # is needed for T; lad_w2 only when the N2 side is direct.
+            self.lad_hi = self._ladder_storage(hf, hf.power(omega_int, self.n2), n1)
+            self.lad_lo = self._ladder_storage(hf, omega_int, self.n2)
+            self.lad_w2 = (
+                self._ladder_storage(hf, hf.power(omega_int, n1), self.n2)
+                if self.sub2 is None
+                else None
+            )
+        else:
+            t_k1 = np.arange(n1).reshape(-1, 1)
+            t_n2 = np.arange(self.n2).reshape(1, -1)
+            self.T = self._gather((t_k1 * t_n2) % N)  # (N1, N2)
+
+    def _ladder_storage(self, hf, g: int, n: int) -> np.ndarray:
+        """Length-n power ladder of g as internal storage (NumPy, planar)."""
+        from ..fields._array import _ints_to_storage_np
+
+        pw = np.empty(n, dtype=object)
+        cur = 1
+        for k in range(n):
+            pw[k] = cur
+            cur = hf.multiply(cur, g)
+        return _ints_to_storage_np(self.meta, pw)
+
+    def _factored_tables(self, lad_hi, lad_lo, lad_w2):
+        """(W1|None, T, W2|None) from device ladders — all index math is
+        int32 iota (k*j < n1*n2 <= 2^24), gathers along the power axis."""
+        k1 = jax.lax.iota(jnp.int32, self.n1)
+        k2 = jax.lax.iota(jnp.int32, self.n2)
+        W1 = None
+        if self.sub1 is None:
+            idx = (k1[:, None] * k1[None, :]) % self.n1
+            W1 = jnp.take(lad_hi, idx, axis=-1)  # (w, n1, n1)
+        W2 = None
+        if self.sub2 is None:
+            idx = (k2[:, None] * k2[None, :]) % self.n2
+            W2 = jnp.take(lad_w2, idx, axis=-1)  # (w, n2, n2)
+        kj = k1[:, None] * k2[None, :]  # (n1, n2), < N <= 2^24
+        hi = jnp.take(lad_hi, kj // self.n2, axis=-1)
+        lo = jnp.take(lad_lo, kj % self.n2, axis=-1)
+        T = self._twiddle_mul(hi, lo)  # chunked field mul, (w, n1, n2)
+        return W1, T, W2
+
+    def _factored_build(self, eager: bool):
+        """Assemble (t1, T, t2) in factored mode. eager=True (trace-clean):
+        device_put the ladders and run the builder under one jit, producing
+        cacheable device arrays; eager=False (under an outer trace): inline
+        the builder so only trace-local values are produced."""
+        put = jax.device_put if eager else jnp.asarray
+        lads = (
+            put(self.lad_hi),
+            put(self.lad_lo),
+            put(self.lad_w2) if self.lad_w2 is not None else None,
+        )
+        W1, T, W2 = self._factored_tables(*lads)
+        if eager:
+            W1, T, W2 = (
+                o if o is None else jax.block_until_ready(o) for o in (W1, T, W2)
+            )
+        t1 = self.sub1._factored_build(eager) if self.sub1 is not None else W1
+        t2 = self.sub2._factored_build(eager) if self.sub2 is not None else W2
+        return (t1, T, t2)
 
     def _table_repr(self, W, to_dev: bool):
         """Direct DFT table in the form transform consumes: int-storage
@@ -400,6 +473,9 @@ class MatmulFFTPlan(FFTPlan):
             # uncached trace-local constants instead.
             return self._host_tables()
         if getattr(self, "_dev_tables", None) is None:
+            if self.factored:
+                self._dev_tables = self._factored_build(True)
+                return self._dev_tables
             t1 = (
                 self.sub1.device_tables()
                 if self.sub1 is not None
@@ -414,6 +490,8 @@ class MatmulFFTPlan(FFTPlan):
         return self._dev_tables
 
     def _host_tables(self):
+        if self.factored:
+            return self._factored_build(False)
         t1 = self.sub1._host_tables() if self.sub1 is not None else self._table_repr(self.W1, False)
         t2 = self.sub2._host_tables() if self.sub2 is not None else self._table_repr(self.W2, False)
         return (t1, jnp.asarray(self.T), t2)
