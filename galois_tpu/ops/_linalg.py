@@ -160,7 +160,7 @@ _PLANE_BASE = 1 << _PLANE_BITS
 _PLANE_MAXD = _PLANE_BASE // 2  # balanced digit magnitude bound (128)
 
 
-def _balanced_planes(x64, p, n_planes):
+def _balanced_planes(x, p, n_planes):
     """Signed balanced base-256 digit planes of the SYMMETRIC residue.
 
     x in [0, p) maps to x' = x - p*(x > p//2) with |x'| <= p/2 < 2^31, then
@@ -169,8 +169,14 @@ def _balanced_planes(x64, p, n_planes):
     matmuls from 25 to 16. The s8 path is the one the MXU provably compiles
     and runs fast; a plain-u8 variant ran at int8 speed but put the remote
     Mosaic compile into a >20-minute spin on the 2^24 NTT graph (round-4
-    probe), so unsigned 8-bit planes are out."""
-    xs = jnp.where(x64 > (p // 2), x64 - p, x64)  # int64, symmetric residue
+    probe), so unsigned 8-bit planes are out.
+
+    All arithmetic is 32-bit: the symmetric residue of any p < 2^32 fits
+    int32 (computed in u32 with two's-complement wrap, then bitcast), so
+    the extraction never touches TPU-emulated int64 lanes."""
+    xu = x.astype(jnp.uint32)
+    xs = jnp.where(xu > jnp.uint32(p // 2), xu - jnp.uint32(p), xu)
+    xs = jax.lax.bitcast_convert_type(xs, jnp.int32)  # |xs| <= p/2 < 2^31
     out = []
     for _ in range(n_planes):
         d = ((xs + 128) & 255) - 128
@@ -208,12 +214,12 @@ def _prime_matmul_planes(a, b, p, K, a_planes=None, b_planes=None):
     max_block = (2**31 - 1) // (_PLANE_MAXD**2)
     # int64 extraction: values up to p-1 can exceed int32 for p near 2^32
     a_planes = (
-        _balanced_planes(a.astype(jnp.int64), p, n_planes)
+        _balanced_planes(a, p, n_planes)
         if a_planes is None
         else [a_planes[i] for i in range(n_planes)]
     )
     b_planes = (
-        _balanced_planes(b.astype(jnp.int64), p, n_planes)
+        _balanced_planes(b, p, n_planes)
         if b_planes is None
         else [b_planes[i] for i in range(n_planes)]
     )
@@ -225,19 +231,29 @@ def _prime_matmul_planes(a, b, p, K, a_planes=None, b_planes=None):
     # [0, p) (64-bit mod is emulated on TPU; doing it once per output
     # instead of once per plane pair matters).
     if n_planes * n_planes * K * _PLANE_MAXD**2 * (p - 1) < 2**62:
+        # Group pair products by diagonal s = i + j IN INT32 first (exact
+        # while pairs_per_diag * Kb * 128^2 < 2^31), then weight/accumulate
+        # the 2n-1 diagonal sums in int64. int64 lanes are emulated on TPU,
+        # so paying the convert+multiply+add on 7 diagonals instead of 16
+        # pair products trims the elementwise tail of every plane matmul.
+        # Overall bound unchanged: sum_s dp(s)*K*128^2*(p-1) = the guard.
+        kdiag = (2**31 - 1) // (_PLANE_MAXD**2 * n_planes)
         acc = None
-        for i in range(n_planes):
-            for j in range(n_planes):
-                shift = pow(2, _PLANE_BITS * (i + j), p)
-                for s in range(0, K, max_block):
-                    e = min(K, s + max_block)
+        for s0 in range(0, K, kdiag):
+            e0 = min(K, s0 + kdiag)
+            diag = [None] * (2 * n_planes - 1)
+            for i in range(n_planes):
+                for j in range(n_planes):
                     blk = jnp.matmul(
-                        a_planes[i][..., s:e],
-                        b_planes[j][..., s:e, :],
+                        a_planes[i][..., s0:e0],
+                        b_planes[j][..., s0:e0, :],
                         preferred_element_type=jnp.int32,
-                    ).astype(jnp.int64)
-                    term = blk * shift
-                    acc = term if acc is None else acc + term
+                    )
+                    d = i + j
+                    diag[d] = blk if diag[d] is None else diag[d] + blk
+            for d, v in enumerate(diag):
+                term = v.astype(jnp.int64) * pow(2, _PLANE_BITS * d, p)
+                acc = term if acc is None else acc + term
         return (acc % p).astype(out_dt)
     acc = None
     for i in range(n_planes):
