@@ -427,8 +427,10 @@ class FieldArray(Array):
     @classmethod
     def Range(cls, start, stop, step=1, dtype=None) -> "FieldArray":
         start, stop, step = int(start), int(stop), int(step)
-        if not 0 <= start <= cls.order and start < cls.order or not (stop <= cls.order):
-            pass
+        if not 0 <= start <= cls.order:
+            raise ValueError(
+                f"Argument 'start' must be within the field's order {cls.order}."
+            )
         if stop > cls.order:
             raise ValueError(f"Argument 'stop' must be <= the field order {cls.order}.")
         if cls._meta.storage == STORAGE_INT:

@@ -59,6 +59,12 @@ def _use_device_poly_ops(field) -> bool:
 def _field_of(field):
     if field is None:
         return _default_field()
+    from ..fields._array import FieldArray
+
+    if not (isinstance(field, type) and issubclass(field, FieldArray)):
+        raise TypeError(
+            f"Argument 'field' must be a FieldArray subclass, not {field!r}."
+        )
     return field
 
 
@@ -88,6 +94,11 @@ class Poly:
             arr = np.asarray(coeffs, dtype=object).reshape(-1)
             clist = []
             for v in arr:
+                if not isinstance(v, (int, np.integer)):
+                    raise TypeError(
+                        f"Argument 'coeffs' must contain integers or field "
+                        f"elements, not {type(v).__name__} ({v!r})."
+                    )
                 v = int(v)
                 if v < 0:
                     # Negative coefficients mean field negation (reference
@@ -546,12 +557,25 @@ class Poly:
         return other.__divmod__(self)[0]
 
     def __truediv__(self, other):
-        q, r = self.__divmod__(other)
-        if not r.is_zero:
-            raise ValueError(
-                f"Division is not exact: {self} / {other} has remainder {r}. Use // for floor division."
-            )
-        return q
+        # Reference parity (src/galois/_polys/_poly.py:1361-1372): fractional
+        # polynomials are unsupported, true division always raises.
+        raise NotImplementedError(
+            "Polynomial true division is not supported because fractional "
+            "polynomials are not supported. Use floor division //, modulo %, "
+            "and/or divmod() instead."
+        )
+
+    def __rtruediv__(self, other):
+        raise NotImplementedError(
+            "Polynomial true division is not supported because fractional "
+            "polynomials are not supported. Use floor division //, modulo %, "
+            "and/or divmod() instead."
+        )
+
+    def __len__(self) -> int:
+        """Length of the coefficient array, degree + 1
+        (reference: src/galois/_polys/_poly.py:1104-1120)."""
+        return self.degree + 1
 
     def __mod__(self, other):
         other = self._check_same_field(other)
