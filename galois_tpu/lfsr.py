@@ -203,6 +203,12 @@ class _LFSR:
         if steps == 0:
             return self._field([])
         direction = "forward" if steps > 0 else "backward"
+        if direction == "backward" and int(self.characteristic_poly.coefficients()[-1]) == 0:
+            # reference parity (src/galois/_lfsr.py:129-134)
+            raise ValueError(
+                "Can only step the shift register backwards if the a_n tap is "
+                f"non-zero, not c(x) = {self.characteristic_poly}."
+            )
         n = abs(steps)
         cls = self._field
         mode = cls._mode if cls._mode != "python-calculate" else cls._meta.default_ufunc_mode
@@ -213,7 +219,10 @@ class _LFSR:
             # (steps, w, ...); planar storage wants the limb axis leading.
             y = jnp.moveaxis(y, 0, 1)
         self._state = cls._view(new_state, self._state._dtype)
-        return cls._view(y, self._state._dtype)
+        out = cls._view(y, self._state._dtype)
+        if n == 1:
+            out = out[0]  # reference parity: single steps return 0-D scalars
+        return out
 
     def __repr__(self):
         from ._options import printoptions
