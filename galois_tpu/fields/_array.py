@@ -154,7 +154,9 @@ class FieldArrayMeta(type):
     def __repr__(cls) -> str:
         if cls._meta is None:
             return super().__repr__()
-        return f"<class 'galois_tpu.{cls.__name__}'>"
+        # Succinct factory-call repr, e.g. <class 'galois_tpu.GF(3^5)'>
+        # (reference: src/galois/_fields/_meta.py:58-67).
+        return f"<class 'galois_tpu.{cls.name}'>"
 
     # -- core parameters --
     @property
@@ -301,7 +303,17 @@ class FieldArrayMeta(type):
             f"  order: {cls.order}",
             f"  irreducible_poly: {f_str}",
             f"  is_primitive_poly: {cls.is_primitive_poly}",
-            f"  primitive_element: {cls._element_to_str(cls._meta.primitive_element_int)}",
+            # the reference always renders the primitive element as its
+            # polynomial string for extension fields, independent of the
+            # class's element_repr (src/galois/_fields/_meta.py:49,96)
+            "  primitive_element: "
+            + (
+                str(cls._meta.primitive_element_int)
+                if cls._meta.degree == 1
+                else poly_to_str(
+                    integer_to_poly(cls._meta.primitive_element_int, cls.characteristic)
+                )
+            ),
         ]
         return "\n".join(lines)
 
