@@ -37,6 +37,23 @@ class BCH(_CyclicCode):
         c: int = 1,
         systematic: bool = True,
     ):
+        if not isinstance(n, (int, np.integer)):
+            raise TypeError(f"Argument 'n' must be an integer, not {type(n).__name__}.")
+        if k is not None and not isinstance(k, (int, np.integer)):
+            raise TypeError(f"Argument 'k' must be an integer, not {type(k).__name__}.")
+        if d is not None and not isinstance(d, (int, np.integer)):
+            raise TypeError(f"Argument 'd' must be an integer, not {type(d).__name__}.")
+        if not isinstance(c, (int, np.integer)):
+            raise TypeError(f"Argument 'c' must be an integer, not {type(c).__name__}.")
+        if not isinstance(systematic, bool):
+            raise TypeError(
+                f"Argument 'systematic' must be a bool, not {type(systematic).__name__}."
+            )
+        for name, f in (("field", field), ("extension_field", extension_field)):
+            if f is not None and not (isinstance(f, type) and issubclass(f, FieldArray)):
+                raise TypeError(
+                    f"Argument {name!r} must be a FieldArray subclass, not {f!r}."
+                )
         n = int(n)
         if d is not None and d < 1:
             raise ValueError(f"Argument 'd' must be at least 1, not {d}.")

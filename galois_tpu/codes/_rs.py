@@ -33,9 +33,27 @@ class ReedSolomon(_CyclicCode):
         c: int = 1,
         systematic: bool = True,
     ):
+        if not isinstance(n, (int, np.integer)):
+            raise TypeError(f"Argument 'n' must be an integer, not {type(n).__name__}.")
+        if k is not None and not isinstance(k, (int, np.integer)):
+            raise TypeError(f"Argument 'k' must be an integer, not {type(k).__name__}.")
+        if d is not None and not isinstance(d, (int, np.integer)):
+            raise TypeError(f"Argument 'd' must be an integer, not {type(d).__name__}.")
+        if not isinstance(c, (int, np.integer)):
+            raise TypeError(f"Argument 'c' must be an integer, not {type(c).__name__}.")
+        if not isinstance(systematic, bool):
+            raise TypeError(
+                f"Argument 'systematic' must be a bool, not {type(systematic).__name__}."
+            )
+        if field is not None and not (isinstance(field, type) and issubclass(field, FieldArray)):
+            raise TypeError(
+                f"Argument 'field' must be a FieldArray subclass, not {field!r}."
+            )
         n = int(n)
         if c < 1:
             raise ValueError(f"Argument 'c' must be at least 1, not {c}.")
+        if k is not None and not 1 <= k < n:
+            raise ValueError(f"Argument 'k' must satisfy 1 <= k < n = {n}, not {k}.")
 
         if field is None:
             q = 2
