@@ -520,6 +520,22 @@ class MatmulFFTPlan(FFTPlan):
         out = jax.lax.map(lambda ab: self.ops.multiply(ab[0], ab[1]), (As, Ts))
         return jnp.moveaxis(out, 0, -3).reshape(A.shape)
 
+    def _use_pallas_sides(self) -> bool:
+        """Opt-in fused Pallas side matmuls (GALOIS_TPU_NTT_PALLAS=1):
+        interpret-mode exact, pending hardware timing validation."""
+        import os
+
+        if os.environ.get("GALOIS_TPU_NTT_PALLAS", "0") != "1":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from ._pallas._plane_matmul import supports as _pm_supports
+
+        p = self.meta.characteristic
+        return _pm_supports(p, self.n1, self.n1, self.n2) and _pm_supports(
+            p, self.n1, self.n2, self.n2
+        )
+
     def transform(self, x: jnp.ndarray, tables=None) -> jnp.ndarray:
         from ._linalg import _prime_matmul
 
@@ -546,9 +562,14 @@ class MatmulFFTPlan(FFTPlan):
             return X.reshape(batch + (self.N,))
         batch = x.shape[:-1]
         M = x.reshape(batch + (self.n1, self.n2))
+        pallas_ok = self._use_pallas_sides() and not batch
         if self.sub1 is not None:
             Mt = jnp.swapaxes(M, -1, -2)  # (..., n2, n1)
             A = jnp.swapaxes(self.sub1.transform(Mt, t1), -1, -2)
+        elif pallas_ok and isinstance(t1, dict):
+            from ._pallas._plane_matmul import plane_matmul_data_right
+
+            A = plane_matmul_data_right(t1["pl"], M, p).astype(M.dtype)
         elif isinstance(t1, dict):
             A = _prime_matmul(None, M, p, self.n1, self.meta, a_planes=t1["pl"])
         else:
@@ -556,6 +577,10 @@ class MatmulFFTPlan(FFTPlan):
         B = self.ops.multiply(A, T)
         if self.sub2 is not None:
             C = self.sub2.transform(B, t2)
+        elif pallas_ok and isinstance(t2, dict):
+            from ._pallas._plane_matmul import plane_matmul_data_left
+
+            C = plane_matmul_data_left(B, t2["pl"], p).astype(M.dtype)
         elif isinstance(t2, dict):
             C = _prime_matmul(B, None, p, self.n2, self.meta, b_planes=t2["pl"])
         else:
