@@ -128,25 +128,23 @@ def supports_generic(meta) -> bool:
     return meta.storage == "limbs" and meta.is_prime_field
 
 
-_DIGIT_BITS = 7  # s8 7-bit digits: a large u8-matmul graph spins the
-# remote Mosaic compile >20 min (round-4 probe), so int8 stays
+_DIGIT_BITS = 8  # biased 8-bit digits (below): 2L planes instead of
+# ceil(16L/7), a 25% MAC cut for 16-limb fields. The s8 MXU path is the
+# one that compiles (a plain-u8 graph spins the remote Mosaic compile
+# >20 min, round-4 probe); unsigned bytes ride it via the quantization
+# zero-point trick: store d - 128 in int8 and add the rank-1 corrections
+# 128*rowsum + 128*colsum + K*128^2 to each diagonal after the matmuls.
 
 
-def _digit_planes(limbs, L: int, D: int):
-    """Planar u16 limb list (u32 planes) -> D exact 7-bit int8 digit planes.
+def _digit_planes8(limbs, L: int):
+    """Planar u16 limb list (u32 planes) -> 2L biased int8 byte planes.
 
-    Digit t covers bits [7t, 7t+7), possibly straddling a limb boundary —
-    all offsets static, so each plane is a couple of shifts and one AND."""
+    Byte t of the integer is (limb[t//2] >> 8*(t%2)) & 255; the stored
+    plane is byte - 128 (int8). Byte windows never straddle limbs."""
     out = []
-    for t in range(D):
-        b0 = 7 * t
-        l0, off = divmod(b0, _LIMB_BITS)
-        if l0 >= L:
-            break
-        v = limbs[l0] >> off
-        if off > _LIMB_BITS - 7 and l0 + 1 < L:
-            v = v | (limbs[l0 + 1] << (_LIMB_BITS - off))
-        out.append((v & 127).astype(jnp.int8))
+    for t in range(2 * L):
+        v = (limbs[t // 2] >> (8 * (t % 2))) & 255
+        out.append((v.astype(jnp.int32) - 128).astype(jnp.int8))
     return out
 
 
@@ -181,34 +179,39 @@ def _glm_core_block(ops, meta, a, b, mode: str):
 
     One stacked int8 MXU matmul per (K-block, A-digit): A_i (M, Kb) times
     the j-concatenated B digits (Kb, D*N) — D matmuls per block instead of
-    D^2 (an unrolled D^2 = 1369-matmul graph for 16-limb fields is a
-    compile-time cliff, see CLAUDE.md). Diagonal sums s = i + j accumulate
-    with static slice-updates into a (M, 2D-1, N) buffer, are scattered
-    into base-2^16 columns of the exact integer product, high limbs fold
-    down with 2^(16*(2L-1)) mod p, and one Barrett reduction
-    (LimbPrimeOps._barrett_t) lands in [0, p)."""
+    D^2 (an unrolled D^2-matmul graph for 16-limb fields is a compile-time
+    cliff, see CLAUDE.md). Digits are biased bytes (d - 128 in int8, see
+    _digit_planes8): after the matmuls each diagonal gets the rank-1
+    zero-point corrections 128*colsum(A) + 128*rowsum(B) + pairs*Kb*128^2,
+    computed exactly in u32 wrap arithmetic (true unsigned diagonal sums
+    are < 2^32 for Kb <= 2048). Diagonals scatter into base-2^16 columns
+    of the exact integer product, high limbs fold down with
+    2^(16*(2L-1)) mod p, and one Barrett reduction (LimbPrimeOps.
+    _barrett_t) lands in [0, p)."""
     from ..fields._meta import int_to_limbs
 
     L = meta.storage_width
-    D = -(-(_LIMB_BITS * L) // _DIGIT_BITS)
+    D = 2 * L
     M, K = a.shape[-2], a.shape[-1]
     N = b.shape[-1]
 
     au = [a[k].astype(jnp.uint32) for k in range(L)]
     bu = [b[k].astype(jnp.uint32) for k in range(L)]
 
-    # per-diagonal int32 sums stay exact: <= D pairs, each <= 127^2 * Kb
-    kblk = max(1, (2**31 - 2**24) // (127 * 127 * D))
+    # true (unsigned-digit) diagonal sums must stay < 2^32: worst diagonal
+    # has min(D, ...) <= D pairs of byte products <= 255^2
+    kblk = min(2048, max(1, (2**32 - 1) // (255 * 255 * D)))
     # top contribution sits at bit 8*(2D-2) and spans +32 bits
     W16 = -(-(_DIGIT_BITS * (2 * D - 2) + 32) // _LIMB_BITS) + 1
 
     cols = None
     for k0 in range(0, K, kblk):
         k1 = min(K, k0 + kblk)
-        a_pl = _digit_planes([x[:, k0:k1] for x in au], L, D)
-        b_pl = _digit_planes([x[k0:k1, :] for x in bu], L, D)
+        kb = k1 - k0
+        a_pl = _digit_planes8([x[:, k0:k1] for x in au], L)
+        b_pl = _digit_planes8([x[k0:k1, :] for x in bu], L)
         nD = len(a_pl)
-        Bt = jnp.stack(b_pl, axis=1).reshape(k1 - k0, nD * N)  # (Kb, D*N)
+        Bt = jnp.stack(b_pl, axis=1).reshape(kb, nD * N)  # (Kb, D*N)
         acc = jnp.zeros((M, 2 * nD - 1, N), jnp.int32)
         for i in range(nD):
             prod = jnp.matmul(a_pl[i], Bt, preferred_element_type=jnp.int32)
@@ -219,12 +222,30 @@ def _glm_core_block(ops, meta, a, b, mode: str):
                 i,
                 axis=1,
             )
+        # zero-point corrections: colsum(A'_i) (M,), rowsum(B'_j) (N,)
+        # dtype pinned: under x64 jnp.sum(int32) widens to int64 (NumPy
+        # semantics) and a 64-bit bitcast to u32 would grow a trailing axis
+        cs = [jnp.sum(a_pl[i], axis=1, dtype=jnp.int32) for i in range(nD)]  # (M,)
+        rs = [jnp.sum(b_pl[j], axis=0, dtype=jnp.int32) for j in range(nD)]  # (N,)
         blk_cols = [None] * W16
         for s in range(2 * nD - 1):
-            v = acc[:, s, :].astype(jnp.uint32)  # < 2^31 by kblk bound
+            i_lo, i_hi = max(0, s - (nD - 1)), min(nD - 1, s)
+            n_pairs = i_hi - i_lo + 1
+            cs_sum = cs[i_lo]
+            rs_sum = rs[s - i_lo]
+            for i in range(i_lo + 1, i_hi + 1):
+                cs_sum = cs_sum + cs[i]
+                rs_sum = rs_sum + rs[s - i]
+            # true diag = P + 128*(cs_sum + rs_sum) + pairs*Kb*128^2, exact
+            # in u32 wrap arithmetic since the true value is < 2^32
+            corr = (
+                jax.lax.bitcast_convert_type(cs_sum[:, None] + rs_sum[None, :], jnp.uint32)
+                << 7
+            ) + jnp.uint32(n_pairs * kb * 16384)
+            v = jax.lax.bitcast_convert_type(acc[:, s, :], jnp.uint32) + corr
             q, r16 = divmod(_DIGIT_BITS * s, _LIMB_BITS)
             v0 = (v & _MASK16) << r16          # < 2^31
-            v1 = (v >> _LIMB_BITS) << r16      # < 2^30
+            v1 = (v >> _LIMB_BITS) << r16      # < 2^31
             parts = (
                 (q, v0 & _MASK16),
                 (q + 1, (v0 >> _LIMB_BITS) + (v1 & _MASK16)),
