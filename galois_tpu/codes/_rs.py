@@ -50,10 +50,14 @@ class ReedSolomon(_CyclicCode):
                 f"Argument 'field' must be a FieldArray subclass, not {field!r}."
             )
         n = int(n)
-        if c < 1:
-            raise ValueError(f"Argument 'c' must be at least 1, not {c}.")
-        if k is not None and not 1 <= k < n:
-            raise ValueError(f"Argument 'k' must satisfy 1 <= k < n = {n}, not {k}.")
+        # Reference parity: c >= 0 and any d >= 1 (k == n is the valid d = 1
+        # code) — reference: _reed_solomon.py:175-178.
+        if c < 0:
+            raise ValueError(f"Argument 'c' must be at least 0, not {c}.")
+        if d is not None and d < 1:
+            raise ValueError(f"Argument 'd' must be at least 1, not {d}.")
+        if k is not None and not 1 <= k <= n:
+            raise ValueError(f"Argument 'k' must satisfy 1 <= k <= n = {n}, not {k}.")
 
         if field is None:
             q = 2

@@ -368,6 +368,12 @@ class MatmulFFTPlan(FFTPlan):
         # (a few hundred KB) and a one-shot jitted builder gathers and
         # multiplies the full tables ON DEVICE (device_tables).
         self.factored = meta.storage == "limbs"
+        if self.factored and N >= 2**31:
+            # _factored_tables builds k1*k2 outer products with int32 iota;
+            # kj < N must fit int32 or the gathers silently wrap.
+            raise ValueError(
+                f"Factored-table NTT plans require N < 2^31, got N = {N}."
+            )
         if not self.factored:
             self.pw = self._build_power_table(hf, omega_int, N)
         # Each side is either a direct DFT matmul (factor <= _RECURSE_ABOVE)

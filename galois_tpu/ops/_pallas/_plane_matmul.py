@@ -106,8 +106,12 @@ _BM, _BN, _BK = 256, 512, 512
 
 
 def supports(p: int, M: int, K: int, N: int) -> bool:
+    # Balanced digits reach magnitude 128 (_PLANE_MAXD in _linalg.py), so the
+    # int32-exactness / |D_s| < p guard must use 128^2, not 127^2.
+    from .._linalg import _PLANE_MAXD
+
     n_planes = balanced_plane_count(p)
-    if n_planes * K * 127**2 >= min(2**31, p):
+    if n_planes * K * _PLANE_MAXD**2 >= min(2**31, p):
         return False
     return M % _BM == 0 and N % _BN == 0 and K % _BK == 0
 

@@ -198,3 +198,35 @@ class TestEncodeDecodeContracts:
         G2 = g.parity_check_to_generator_matrix(H2)
         assert not np.asarray(G2 @ H2.T).any()
         assert np.array_equal(np.asarray(G2), np.asarray(G))
+
+
+class TestReferenceParityBounds:
+    """Validation bounds match the reference exactly
+    (reference: _codes/_reed_solomon.py:175-178 allows d >= 1 and c >= 0)."""
+
+    def test_rs_k_equals_n_is_valid_d1_code(self):
+        rs = g.ReedSolomon(15, 15)
+        assert (rs.n, rs.k, rs.d) == (15, 15, 1)
+        m = rs.field.Random((3, 15), seed=1)
+        c = rs.encode(m)
+        assert np.array_equal(np.asarray(c), np.asarray(m))  # g(x) = 1
+        dec, ne = rs.decode(c, errors=True)
+        assert np.array_equal(np.asarray(dec), np.asarray(m))
+        assert np.array_equal(ne, np.zeros(3, dtype=np.int64))
+
+    def test_rs_c_zero_decodes(self):
+        rs = g.ReedSolomon(15, 11, c=0)
+        m = rs.field.Random((4, 11), seed=2)
+        cw = np.asarray(rs.encode(m), dtype=np.int64)
+        cw[:, 3] ^= 5
+        dec, ne = rs.decode(rs.field(cw), errors=True)
+        assert np.array_equal(np.asarray(dec), np.asarray(m))
+        assert np.array_equal(ne, np.ones(4, dtype=np.int64))
+
+    def test_rs_invalid_bounds_raise(self):
+        with pytest.raises(ValueError):
+            g.ReedSolomon(15, 16)
+        with pytest.raises(ValueError):
+            g.ReedSolomon(15, 11, c=-1)
+        with pytest.raises(ValueError):
+            g.ReedSolomon(15, d=0)

@@ -90,6 +90,63 @@ def test_goldilocks_multiply_pallas_interpret():
     assert np.array_equal(np.asarray(out), np.asarray(exp))
 
 
+def test_plane_matmul_pallas_interpret():
+    """Fused balanced-plane prime matmul (both operand orders) matches the
+    XLA pair-dots path bit-for-bit in interpret mode — the NTT's
+    GALOIS_TPU_NTT_PALLAS side kernels (ops/_pallas/_plane_matmul.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from galois_tpu.ops._linalg import _prime_matmul_planes, balanced_planes_np
+    from galois_tpu.ops._pallas._plane_matmul import (
+        _BK,
+        _BM,
+        _BN,
+        plane_matmul_data_left,
+        plane_matmul_data_right,
+        supports,
+    )
+
+    p = 3 * 2**30 + 1
+    M, K, N = _BM, _BK, _BN  # one grid tile in each dim: 256 x 512 x 512
+    assert supports(p, M, K, N)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, p, (M, K), dtype=np.int64).astype(np.uint32))
+    W = rng.integers(0, p, (K, N), dtype=np.int64).astype(np.uint32)
+    Wpl = jnp.asarray(balanced_planes_np(W, p))
+    out = plane_matmul_data_left(x, Wpl, p, True)
+    ref = _prime_matmul_planes(x, None, p, K, b_planes=Wpl)
+    assert np.array_equal(np.asarray(out), np.asarray(ref).astype(np.uint32))
+
+    y = jnp.asarray(rng.integers(0, p, (K, N), dtype=np.int64).astype(np.uint32))
+    Apl = jnp.asarray(balanced_planes_np(W[:M], p))  # (n, M, K) table planes
+    out = plane_matmul_data_right(Apl, y, p, True)
+    ref = _prime_matmul_planes(None, y, p, K, a_planes=Apl)
+    assert np.array_equal(np.asarray(out), np.asarray(ref).astype(np.uint32))
+
+
+def test_plane_matmul_supports_bounds():
+    """The exactness guard uses the true balanced-digit magnitude bound
+    (128, not 127): a (p, K) pair right at the 127-bound must be rejected."""
+    from galois_tpu.ops._linalg import _PLANE_MAXD, balanced_plane_count
+    from galois_tpu.ops._pallas._plane_matmul import _BK, _BM, _BN, supports
+
+    p = 3 * 2**30 + 1
+    n_planes = balanced_plane_count(p)
+    # smallest K multiple of _BK that violates the 128^2 bound but not 127^2
+    k_bad = None
+    K = _BK
+    while K < 2**22:
+        if n_planes * K * 127**2 < min(2**31, p) <= n_planes * K * _PLANE_MAXD**2:
+            k_bad = K
+            break
+        K += _BK
+    if k_bad is not None:
+        assert not supports(p, _BM, k_bad, _BN)
+    # the NTT side shape stays supported
+    assert supports(p, 4096, 4096, 4096)
+
+
 def test_lookup_pallas_kernels_interpret():
     """Chunked VMEM-gather EXP/LOG kernels (jit-lookup on TPU) match the
     XLA lookup path, including zero handling, across table sizes."""
