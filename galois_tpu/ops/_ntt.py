@@ -527,13 +527,15 @@ class MatmulFFTPlan(FFTPlan):
         return jnp.moveaxis(out, 0, -3).reshape(A.shape)
 
     def _use_pallas_sides(self) -> bool:
-        """Opt-in fused Pallas side matmuls (GALOIS_TPU_NTT_PALLAS=1):
-        interpret-mode exact, pending hardware timing validation."""
+        """Opt-in fused Pallas side matmuls (GALOIS_TPU_NTT_PALLAS=1 on TPU
+        hardware; =interpret forces the path in interpreter mode on any
+        backend for suite-level parity tests)."""
         import os
 
-        if os.environ.get("GALOIS_TPU_NTT_PALLAS", "0") != "1":
+        flag = os.environ.get("GALOIS_TPU_NTT_PALLAS", "0")
+        if flag not in ("1", "interpret"):
             return False
-        if jax.default_backend() != "tpu":
+        if flag == "1" and jax.default_backend() != "tpu":
             return False
         from ._pallas._plane_matmul import supports as _pm_supports
 
@@ -568,14 +570,17 @@ class MatmulFFTPlan(FFTPlan):
             return X.reshape(batch + (self.N,))
         batch = x.shape[:-1]
         M = x.reshape(batch + (self.n1, self.n2))
-        pallas_ok = self._use_pallas_sides() and not batch
+        # Batched transforms fold the batch axis into the non-contraction dim
+        # inside the Pallas wrappers (tables are shared across the batch).
+        pallas_ok = self._use_pallas_sides()
         if self.sub1 is not None:
             Mt = jnp.swapaxes(M, -1, -2)  # (..., n2, n1)
             A = jnp.swapaxes(self.sub1.transform(Mt, t1), -1, -2)
         elif pallas_ok and isinstance(t1, dict):
             from ._pallas._plane_matmul import plane_matmul_data_right
 
-            A = plane_matmul_data_right(t1["pl"], M, p).astype(M.dtype)
+            interp = jax.default_backend() != "tpu"
+            A = plane_matmul_data_right(t1["pl"], M, p, interp).astype(M.dtype)
         elif isinstance(t1, dict):
             A = _prime_matmul(None, M, p, self.n1, self.meta, a_planes=t1["pl"])
         else:
@@ -586,7 +591,8 @@ class MatmulFFTPlan(FFTPlan):
         elif pallas_ok and isinstance(t2, dict):
             from ._pallas._plane_matmul import plane_matmul_data_left
 
-            C = plane_matmul_data_left(B, t2["pl"], p).astype(M.dtype)
+            interp = jax.default_backend() != "tpu"
+            C = plane_matmul_data_left(B, t2["pl"], p, interp).astype(M.dtype)
         elif isinstance(t2, dict):
             C = _prime_matmul(B, None, p, self.n2, self.meta, b_planes=t2["pl"])
         else:

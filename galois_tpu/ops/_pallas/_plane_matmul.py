@@ -185,14 +185,19 @@ def _kernel_data_right(a_ref, x_ref, o_ref, acc_ref, *, p: int, n_planes: int):
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
 def plane_matmul_data_left(x, b_planes, p: int, interpret: bool = False):
-    """(M, K) u32 data @ precomputed (n, K, N) int8 table planes -> (M, N)."""
+    """(..., M, K) u32 data @ precomputed (n, K, N) int8 table planes ->
+    (..., M, N). Leading batch axes fold into M (the tables are shared)."""
     n_planes = balanced_plane_count(p)
-    M, K = x.shape
+    batch = x.shape[:-2]
+    M, K = x.shape[-2], x.shape[-1]
+    if batch:
+        x = x.reshape(-1, K)  # (B*M, K)
+    Mf = x.shape[0]
     N = b_planes.shape[-1]
-    grid = (M // _BM, N // _BN, K // _BK)
-    return pl.pallas_call(
+    grid = (Mf // _BM, N // _BN, K // _BK)
+    out = pl.pallas_call(
         functools.partial(_kernel_data_left, p=p, n_planes=n_planes),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((Mf, N), jnp.uint32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_BM, _BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
@@ -209,18 +214,26 @@ def plane_matmul_data_left(x, b_planes, p: int, interpret: bool = False):
         ),
         interpret=interpret,
     )(x.astype(jnp.uint32), b_planes)
+    return out.reshape(batch + (M, N)) if batch else out
 
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
 def plane_matmul_data_right(a_planes, x, p: int, interpret: bool = False):
-    """Precomputed (n, M, K) int8 table planes @ (K, N) u32 data -> (M, N)."""
+    """Precomputed (n, M, K) int8 table planes @ (..., K, N) u32 data ->
+    (..., M, N). Leading batch axes fold into N (the tables are shared);
+    the fold costs one transpose each way, amortized over the matmul."""
     n_planes = balanced_plane_count(p)
-    K, N = x.shape
+    batch = x.shape[:-2]
+    K, N = x.shape[-2], x.shape[-1]
+    if batch:
+        xb = x.reshape((-1, K, N))
+        x = jnp.moveaxis(xb, 0, 1).reshape(K, -1)  # (K, B*N)
+    Nf = x.shape[1]
     M = a_planes.shape[1]
-    grid = (M // _BM, N // _BN, K // _BK)
-    return pl.pallas_call(
+    grid = (M // _BM, Nf // _BN, K // _BK)
+    out = pl.pallas_call(
         functools.partial(_kernel_data_right, p=p, n_planes=n_planes),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((M, Nf), jnp.uint32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -237,3 +250,7 @@ def plane_matmul_data_right(a_planes, x, p: int, interpret: bool = False):
         ),
         interpret=interpret,
     )(a_planes, x.astype(jnp.uint32))
+    if batch:
+        out = jnp.moveaxis(out.reshape(M, -1, N), 1, 0)
+        return out.reshape(batch + (M, N))
+    return out

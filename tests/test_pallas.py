@@ -125,6 +125,66 @@ def test_plane_matmul_pallas_interpret():
     assert np.array_equal(np.asarray(out), np.asarray(ref).astype(np.uint32))
 
 
+def test_plane_matmul_pallas_batched_interpret():
+    """Leading batch axes fold into the non-contraction grid dim — the
+    batched-NTT side path (ops/_ntt.py MatmulFFTPlan.transform)."""
+    import jax.numpy as jnp
+
+    from galois_tpu.ops._linalg import _prime_matmul_planes, balanced_planes_np
+    from galois_tpu.ops._pallas._plane_matmul import (
+        _BK,
+        _BM,
+        _BN,
+        plane_matmul_data_left,
+        plane_matmul_data_right,
+    )
+
+    p = 3 * 2**30 + 1
+    Bt, M, K, N = 3, _BM, _BK, _BN
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(0, p, (Bt, M, K), dtype=np.int64).astype(np.uint32))
+    W = rng.integers(0, p, (K, N), dtype=np.int64).astype(np.uint32)
+    Wpl = jnp.asarray(balanced_planes_np(W, p))
+    out = plane_matmul_data_left(x, Wpl, p, True)
+    assert out.shape == (Bt, M, N)
+    for b in range(Bt):
+        ref = _prime_matmul_planes(x[b], None, p, K, b_planes=Wpl)
+        assert np.array_equal(np.asarray(out[b]), np.asarray(ref).astype(np.uint32))
+
+    y = jnp.asarray(rng.integers(0, p, (Bt, K, N), dtype=np.int64).astype(np.uint32))
+    Apl = jnp.asarray(balanced_planes_np(W[:M], p))
+    out = plane_matmul_data_right(Apl, y, p, True)
+    assert out.shape == (Bt, M, N)
+    for b in range(Bt):
+        ref = _prime_matmul_planes(None, y[b], p, K, a_planes=Apl)
+        assert np.array_equal(np.asarray(out[b]), np.asarray(ref).astype(np.uint32))
+
+
+def test_ntt_pallas_sides_full_transform(monkeypatch):
+    """The GALOIS_TPU_NTT_PALLAS side path produces the exact same transform
+    as the default XLA pair-dots path, end to end through MatmulFFTPlan
+    (interpret mode; the hardware flip is validated by bench.py)."""
+    import jax.numpy as jnp
+
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import MatmulFFTPlan, _get_omega
+
+    p = 3 * 2**30 + 1
+    GF = g.GF(p)
+    N = 512 * 512  # n1 = n2 = 512: every side shape grid-aligned
+    omega = _get_omega(GF, N)
+    plan = MatmulFFTPlan(GF._meta, N, omega, "jit-calculate", 512)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, p, N, dtype=np.int64).astype(np.uint32))
+
+    monkeypatch.delenv("GALOIS_TPU_NTT_PALLAS", raising=False)
+    ref = np.asarray(plan.transform(x))
+    monkeypatch.setenv("GALOIS_TPU_NTT_PALLAS", "interpret")
+    assert plan._use_pallas_sides()
+    out = np.asarray(plan.transform(x))
+    assert np.array_equal(out, ref)
+
+
 def test_plane_matmul_supports_bounds():
     """The exactness guard uses the true balanced-digit magnitude bound
     (128, not 127): a (p, K) pair right at the 127-bound must be rejected."""
