@@ -459,17 +459,35 @@ class MatmulFFTPlan(FFTPlan):
         t2 = self.sub2._factored_build(eager) if self.sub2 is not None else W2
         return (t1, T, t2)
 
-    def _table_repr(self, W, to_dev: bool):
+    def _table_repr(self, W, to_dev: bool, side: str):
         """Direct DFT table in the form transform consumes: int-storage
         prime fields ship PRECOMPUTED balanced int8 planes (runtime then
         only extracts the data operand's planes — at 2^24 the per-call
         int64 extraction of two 4096^2 tables was pure overhead); other
-        storages ship the raw table."""
+        storages ship the raw table.
+
+        ``side`` is the table's operand position in its matmul ("left" for
+        W1 @ M, "right" for B @ W2): when the fused Pallas side kernels can
+        serve this shape, a block-stacked copy of the planes is shipped too
+        ("pls"), in the layout those kernels consume directly."""
         if self.meta.storage == "int" and self.meta.is_prime_field:
             from ._linalg import balanced_planes_np
 
+            put = jax.device_put if to_dev else jnp.asarray
             pl = balanced_planes_np(W, self.meta.characteristic)
-            return {"pl": jax.device_put(pl) if to_dev else jnp.asarray(pl)}
+            out = {"pl": put(pl)}
+            from ._pallas._plane_matmul import (
+                stack_planes_cols,
+                stack_planes_rows,
+                supports as _pm_supports,
+            )
+
+            p = self.meta.characteristic
+            K = W.shape[0]
+            if _pm_supports(p, K, K, K):
+                stk = stack_planes_rows(pl) if side == "left" else stack_planes_cols(pl)
+                out["pls"] = put(stk)
+            return out
         return jax.device_put(W) if to_dev else jnp.asarray(W)
 
     def device_tables(self):
@@ -485,12 +503,12 @@ class MatmulFFTPlan(FFTPlan):
             t1 = (
                 self.sub1.device_tables()
                 if self.sub1 is not None
-                else self._table_repr(self.W1, True)
+                else self._table_repr(self.W1, True, "left")
             )
             t2 = (
                 self.sub2.device_tables()
                 if self.sub2 is not None
-                else self._table_repr(self.W2, True)
+                else self._table_repr(self.W2, True, "right")
             )
             self._dev_tables = (t1, jax.device_put(self.T), t2)
         return self._dev_tables
@@ -498,8 +516,8 @@ class MatmulFFTPlan(FFTPlan):
     def _host_tables(self):
         if self.factored:
             return self._factored_build(False)
-        t1 = self.sub1._host_tables() if self.sub1 is not None else self._table_repr(self.W1, False)
-        t2 = self.sub2._host_tables() if self.sub2 is not None else self._table_repr(self.W2, False)
+        t1 = self.sub1._host_tables() if self.sub1 is not None else self._table_repr(self.W1, False, "left")
+        t2 = self.sub2._host_tables() if self.sub2 is not None else self._table_repr(self.W2, False, "right")
         return (t1, jnp.asarray(self.T), t2)
 
     def _twiddle_mul(self, A, T):
@@ -580,7 +598,9 @@ class MatmulFFTPlan(FFTPlan):
             from ._pallas._plane_matmul import plane_matmul_data_right
 
             interp = jax.default_backend() != "tpu"
-            A = plane_matmul_data_right(t1["pl"], M, p, interp).astype(M.dtype)
+            A = plane_matmul_data_right(
+                t1.get("pls", t1["pl"]), M, p, interp
+            ).astype(M.dtype)
         elif isinstance(t1, dict):
             A = _prime_matmul(None, M, p, self.n1, self.meta, a_planes=t1["pl"])
         else:
@@ -592,7 +612,9 @@ class MatmulFFTPlan(FFTPlan):
             from ._pallas._plane_matmul import plane_matmul_data_left
 
             interp = jax.default_backend() != "tpu"
-            C = plane_matmul_data_left(B, t2["pl"], p, interp).astype(M.dtype)
+            C = plane_matmul_data_left(
+                B, t2.get("pls", t2["pl"]), p, interp
+            ).astype(M.dtype)
         elif isinstance(t2, dict):
             C = _prime_matmul(B, None, p, self.n2, self.meta, b_planes=t2["pl"])
         else:

@@ -1,21 +1,30 @@
 """Fused balanced-plane prime matmul on the MXU (Pallas).
 
-The XLA formulation in ops/_linalg.py::_prime_matmul_planes runs the 16
+The XLA formulation in ops/_linalg.py::_prime_matmul_planes runs the n^2
 pair matmuls as separate dots whose int32 outputs round-trip HBM before an
-elementwise fold — measured on the 2^24 NTT that puts each 4096^3 side at
-~2.5x the pure-MXU floor. This kernel fuses the whole side:
+elementwise fold. This kernel fuses the whole side:
 
-  HBM reads:  data u32 tile + static table int8 planes
+  HBM reads:  data u32 tile + static table int8 planes (pre-stacked)
   in VMEM:    balanced-plane extraction of the data tile (int32 math),
-              n^2 int8 MXU dots accumulated into 2n-1 int32 diagonal
-              scratch buffers across the K grid axis,
+              the extracted planes CONCATENATED so each grid cell issues
+              ONE (n*bm, bk) @ (bk, n*bn) int8 MXU dot (hardware shootout,
+              scripts/probe_r5c.py on v5e: one big dot = 12.4 ms/side vs
+              17.3 for n^2 small dots vs ~19-20 for the XLA pair-dots path;
+              a plain batched s8 matmul itself measures 58.5e12 MAC/s, so
+              the fused kernel at 88.7e12 MAC/s beats XLA's own matmul),
+              pair products accumulated into 2n-1 int32 diagonal scratch
+              buffers across the K grid axis,
   epilogue:   diagonal fold  sum_s D_s * (2^(8s) mod p)  mod p entirely in
               u32 lanes (the Barrett mulmod from ops/_kernels.py — no
               64-bit emulation), one u32 tile written back.
 
-Exactness bounds (enforced by `supports`):
-  - per-diagonal int32 sums: n_planes * K * 127^2 < 2^31
-  - signed diagonal -> residue shortcut: |D_s| < p, i.e. p > n_planes*K*127^2
+Static-table operands are pre-stacked at plan-build time (stack_planes_*):
+the stacked layout interleaves the n planes at block granularity so one
+BlockSpec index picks the same tile of every plane.
+
+Exactness bounds (enforced by `supports`, digits reach magnitude 128):
+  - per-diagonal int32 sums: n_planes * K * 128^2 < 2^31
+  - signed diagonal -> residue shortcut: |D_s| < p
 
 Reference analogue: the exact-float BLAS trick of
 src/galois/_domains/_linalg.py:21-75, redesigned for the int8 MXU.
@@ -100,9 +109,12 @@ def _mulmod_u32m(av, bv, p: int):
         rhs = jnp.where(ge, rhs - borrow, rhs)
     return rl
 
-# Block shape: bm x bn output tiles, bk contraction steps. acc scratch is
-# (2n-1, bm, bn) int32 = 3.7 MB at the default for n=4 planes.
-_BM, _BN, _BK = 256, 512, 512
+
+# Block shape: bm x bn output tiles, bk contraction steps. Measured on v5e
+# (scripts/probe_r5c.py): the single stacked (n*bm, bk)@(bk, n*bn) dot at
+# these blocks runs the 4096^3 side in 12.4 ms (88.7e12 MAC/s); bigger
+# tiles (bm=512, bk=1024) exceed VMEM and kill the Mosaic compile.
+_BM, _BN, _BK = 256, 256, 512
 
 
 def supports(p: int, M: int, K: int, N: int) -> bool:
@@ -114,6 +126,27 @@ def supports(p: int, M: int, K: int, N: int) -> bool:
     if n_planes * K * _PLANE_MAXD**2 >= min(2**31, p):
         return False
     return M % _BM == 0 and N % _BN == 0 and K % _BK == 0
+
+
+def stack_planes_cols(planes: np.ndarray, bn: int = _BN) -> np.ndarray:
+    """(n, K, N) int8 planes of a RIGHT operand -> (K, (N//bn)*n*bn): column
+    block j holds the j-th bn-slice of every plane, so one BlockSpec column
+    index picks the same tile of all n planes."""
+    n, K, N = planes.shape
+    nb = N // bn
+    return np.ascontiguousarray(
+        planes.reshape(n, K, nb, bn).transpose(1, 2, 0, 3).reshape(K, nb * n * bn)
+    )
+
+
+def stack_planes_rows(planes: np.ndarray, bm: int = _BM) -> np.ndarray:
+    """(n, M, K) int8 planes of a LEFT operand -> ((M//bm)*n*bm, K): row
+    block i holds the i-th bm-slice of every plane."""
+    n, M, K = planes.shape
+    nb = M // bm
+    return np.ascontiguousarray(
+        planes.reshape(n, nb, bm, K).transpose(1, 0, 2, 3).reshape(nb * n * bm, K)
+    )
 
 
 def _extract_planes(xu, p: int, n_planes: int):
@@ -144,19 +177,21 @@ def _fold_diagonals(acc_ref, p: int, n_planes: int):
 
 
 def _kernel_data_left(x_ref, b_ref, o_ref, acc_ref, *, p: int, n_planes: int):
-    """out = X @ B: x tile (bm, bk) u32 data, b tile (n, bk, bn) int8."""
+    """out = X @ B: x tile (bm, bk) u32 data, b tile (bk, n*bn) int8 stacked.
+    One MXU dot per grid cell: (n*bm, bk) @ (bk, n*bn)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    a_planes = _extract_planes(x_ref[...], p, n_planes)
+    a_all = jnp.concatenate(_extract_planes(x_ref[...], p, n_planes), axis=0)
+    prod = jnp.dot(a_all, b_ref[...], preferred_element_type=jnp.int32)
     for i in range(n_planes):
         for j in range(n_planes):
-            prod = jnp.dot(a_planes[i], b_ref[j], preferred_element_type=jnp.int32)
-            s = i + j
-            acc_ref[s] = acc_ref[s] + prod
+            acc_ref[i + j] = acc_ref[i + j] + prod[
+                i * _BM : (i + 1) * _BM, j * _BN : (j + 1) * _BN
+            ]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -164,19 +199,20 @@ def _kernel_data_left(x_ref, b_ref, o_ref, acc_ref, *, p: int, n_planes: int):
 
 
 def _kernel_data_right(a_ref, x_ref, o_ref, acc_ref, *, p: int, n_planes: int):
-    """out = A @ X: a tile (n, bm, bk) int8 table planes, x tile (bk, bn)."""
+    """out = A @ X: a tile (n*bm, bk) int8 stacked table, x tile (bk, bn)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    b_planes = _extract_planes(x_ref[...], p, n_planes)
+    b_all = jnp.concatenate(_extract_planes(x_ref[...], p, n_planes), axis=1)
+    prod = jnp.dot(a_ref[...], b_all, preferred_element_type=jnp.int32)
     for i in range(n_planes):
         for j in range(n_planes):
-            prod = jnp.dot(a_ref[i], b_planes[j], preferred_element_type=jnp.int32)
-            s = i + j
-            acc_ref[s] = acc_ref[s] + prod
+            acc_ref[i + j] = acc_ref[i + j] + prod[
+                i * _BM : (i + 1) * _BM, j * _BN : (j + 1) * _BN
+            ]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -185,15 +221,26 @@ def _kernel_data_right(a_ref, x_ref, o_ref, acc_ref, *, p: int, n_planes: int):
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
 def plane_matmul_data_left(x, b_planes, p: int, interpret: bool = False):
-    """(..., M, K) u32 data @ precomputed (n, K, N) int8 table planes ->
-    (..., M, N). Leading batch axes fold into M (the tables are shared)."""
+    """(..., M, K) u32 data @ table planes -> (..., M, N). ``b_planes`` is
+    either raw (n, K, N) int8 planes or pre-stacked (K, (N//bn)*n*bn) via
+    stack_planes_cols. Leading batch axes fold into M."""
     n_planes = balanced_plane_count(p)
+    if b_planes.ndim == 3:
+        N = b_planes.shape[-1]
+        nb = N // _BN
+        b_planes = jnp.reshape(
+            jnp.transpose(
+                jnp.reshape(b_planes, (n_planes, -1, nb, _BN)), (1, 2, 0, 3)
+            ),
+            (b_planes.shape[1], nb * n_planes * _BN),
+        )
+    else:
+        N = b_planes.shape[1] // n_planes
     batch = x.shape[:-2]
     M, K = x.shape[-2], x.shape[-1]
     if batch:
         x = x.reshape(-1, K)  # (B*M, K)
     Mf = x.shape[0]
-    N = b_planes.shape[-1]
     grid = (Mf // _BM, N // _BN, K // _BK)
     out = pl.pallas_call(
         functools.partial(_kernel_data_left, p=p, n_planes=n_planes),
@@ -202,8 +249,8 @@ def plane_matmul_data_left(x, b_planes, p: int, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((_BM, _BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n_planes, _BK, _BN),
-                lambda i, j, k: (i - i, k, j),
+                (_BK, n_planes * _BN),
+                lambda i, j, k: (k, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -219,17 +266,28 @@ def plane_matmul_data_left(x, b_planes, p: int, interpret: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
 def plane_matmul_data_right(a_planes, x, p: int, interpret: bool = False):
-    """Precomputed (n, M, K) int8 table planes @ (..., K, N) u32 data ->
-    (..., M, N). Leading batch axes fold into N (the tables are shared);
-    the fold costs one transpose each way, amortized over the matmul."""
+    """Table planes @ (..., K, N) u32 data -> (..., M, N). ``a_planes`` is
+    either raw (n, M, K) int8 planes or pre-stacked ((M//bm)*n*bm, K) via
+    stack_planes_rows. Leading batch axes fold into N (one transpose each
+    way, amortized over the matmul)."""
     n_planes = balanced_plane_count(p)
+    if a_planes.ndim == 3:
+        M = a_planes.shape[1]
+        nb = M // _BM
+        a_planes = jnp.reshape(
+            jnp.transpose(
+                jnp.reshape(a_planes, (n_planes, nb, _BM, -1)), (1, 0, 2, 3)
+            ),
+            (nb * n_planes * _BM, a_planes.shape[-1]),
+        )
+    else:
+        M = a_planes.shape[0] // n_planes
     batch = x.shape[:-2]
     K, N = x.shape[-2], x.shape[-1]
     if batch:
         xb = x.reshape((-1, K, N))
         x = jnp.moveaxis(xb, 0, 1).reshape(K, -1)  # (K, B*N)
     Nf = x.shape[1]
-    M = a_planes.shape[1]
     grid = (M // _BM, Nf // _BN, K // _BK)
     out = pl.pallas_call(
         functools.partial(_kernel_data_right, p=p, n_planes=n_planes),
@@ -237,8 +295,8 @@ def plane_matmul_data_right(a_planes, x, p: int, interpret: bool = False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (n_planes, _BM, _BK),
-                lambda i, j, k: (i - i, i, k),
+                (n_planes * _BM, _BK),
+                lambda i, j, k: (i, k),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((_BK, _BN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),

@@ -119,7 +119,8 @@ def test_plane_matmul_pallas_interpret():
     assert np.array_equal(np.asarray(out), np.asarray(ref).astype(np.uint32))
 
     y = jnp.asarray(rng.integers(0, p, (K, N), dtype=np.int64).astype(np.uint32))
-    Apl = jnp.asarray(balanced_planes_np(W[:M], p))  # (n, M, K) table planes
+    A = rng.integers(0, p, (M, K), dtype=np.int64).astype(np.uint32)
+    Apl = jnp.asarray(balanced_planes_np(A, p))  # (n, M, K) table planes
     out = plane_matmul_data_right(Apl, y, p, True)
     ref = _prime_matmul_planes(None, y, p, K, a_planes=Apl)
     assert np.array_equal(np.asarray(out), np.asarray(ref).astype(np.uint32))
@@ -152,7 +153,8 @@ def test_plane_matmul_pallas_batched_interpret():
         assert np.array_equal(np.asarray(out[b]), np.asarray(ref).astype(np.uint32))
 
     y = jnp.asarray(rng.integers(0, p, (Bt, K, N), dtype=np.int64).astype(np.uint32))
-    Apl = jnp.asarray(balanced_planes_np(W[:M], p))
+    A = rng.integers(0, p, (M, K), dtype=np.int64).astype(np.uint32)
+    Apl = jnp.asarray(balanced_planes_np(A, p))
     out = plane_matmul_data_right(Apl, y, p, True)
     assert out.shape == (Bt, M, N)
     for b in range(Bt):
