@@ -545,12 +545,15 @@ class MatmulFFTPlan(FFTPlan):
         return jnp.moveaxis(out, 0, -3).reshape(A.shape)
 
     def _use_pallas_sides(self) -> bool:
-        """Opt-in fused Pallas side matmuls (GALOIS_TPU_NTT_PALLAS=1 on TPU
-        hardware; =interpret forces the path in interpreter mode on any
-        backend for suite-level parity tests)."""
+        """Fused Pallas side matmuls — DEFAULT ON on TPU since round 5:
+        validated bit-exact on hardware at 2^20 and 2^24 (probe_r5d) and
+        27-44% faster than the XLA pair-dots sides (30.3 vs 41.8 ms/xf at
+        2^24 B=4; 1.30 vs 2.33 ms/xf at 2^20 B=32). GALOIS_TPU_NTT_PALLAS=0
+        opts out; =interpret forces the path in interpreter mode on any
+        backend for suite-level parity tests."""
         import os
 
-        flag = os.environ.get("GALOIS_TPU_NTT_PALLAS", "0")
+        flag = os.environ.get("GALOIS_TPU_NTT_PALLAS", "1")
         if flag not in ("1", "interpret"):
             return False
         if flag == "1" and jax.default_backend() != "tpu":
