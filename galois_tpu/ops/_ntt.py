@@ -591,33 +591,37 @@ class MatmulFFTPlan(FFTPlan):
             return X.reshape(batch + (self.N,))
         batch = x.shape[:-1]
         M = x.reshape(batch + (self.n1, self.n2))
-        # Batched transforms fold the batch axis into the non-contraction dim
-        # inside the Pallas wrappers (tables are shared across the batch).
+        # Pallas sides: batch rides a native grid dimension; side 1 fuses
+        # the twiddle multiply into its epilogue; when BOTH sides run the
+        # fused kernels, side 2 writes its tiles transposed so the final
+        # axis swap costs nothing.
         pallas_ok = self._use_pallas_sides()
+        pallas1 = pallas_ok and self.sub1 is None and isinstance(t1, dict) and "pls" in t1
+        pallas2 = pallas_ok and self.sub2 is None and isinstance(t2, dict) and "pls" in t2
+        interp = jax.default_backend() != "tpu"
         if self.sub1 is not None:
             Mt = jnp.swapaxes(M, -1, -2)  # (..., n2, n1)
             A = jnp.swapaxes(self.sub1.transform(Mt, t1), -1, -2)
-        elif pallas_ok and isinstance(t1, dict):
+        elif pallas1:
             from ._pallas._plane_matmul import plane_matmul_data_right
 
-            interp = jax.default_backend() != "tpu"
             A = plane_matmul_data_right(
-                t1.get("pls", t1["pl"]), M, p, interp
+                t1["pls"], M, p, interp, twiddle=T
             ).astype(M.dtype)
         elif isinstance(t1, dict):
             A = _prime_matmul(None, M, p, self.n1, self.meta, a_planes=t1["pl"])
         else:
             A = _prime_matmul(t1, M, p, self.n1, self.meta)
-        B = self.ops.multiply(A, T)
+        B = A if pallas1 else self.ops.multiply(A, T)
         if self.sub2 is not None:
             C = self.sub2.transform(B, t2)
-        elif pallas_ok and isinstance(t2, dict):
+        elif pallas2:
             from ._pallas._plane_matmul import plane_matmul_data_left
 
-            interp = jax.default_backend() != "tpu"
-            C = plane_matmul_data_left(
-                B, t2.get("pls", t2["pl"]), p, interp
+            X = plane_matmul_data_left(
+                B, t2["pls"], p, interp, transpose_out=True
             ).astype(M.dtype)
+            return X.reshape(batch + (self.N,))  # already (..., k2, k1)
         elif isinstance(t2, dict):
             C = _prime_matmul(B, None, p, self.n2, self.meta, b_planes=t2["pl"])
         else:

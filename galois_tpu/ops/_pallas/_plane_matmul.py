@@ -176,54 +176,96 @@ def _fold_diagonals(acc_ref, p: int, n_planes: int):
     return r
 
 
-def _kernel_data_left(x_ref, b_ref, o_ref, acc_ref, *, p: int, n_planes: int):
-    """out = X @ B: x tile (bm, bk) u32 data, b tile (bk, n*bn) int8 stacked.
-    One MXU dot per grid cell: (n*bm, bk) @ (bk, n*bn)."""
-    k = pl.program_id(2)
+def _kernel_data_left(
+    x_ref, b_ref, o_ref, acc_ref, a_cache, *, p: int, n_planes: int, transpose_out: bool
+):
+    """out = X @ B: x tile (1, bm, bk) u32 data, b tile (bk, n*bn) int8
+    stacked. One MXU dot per grid cell: (n*bm, bk) @ (bk, n*bn).
+
+    Grid (b, i, j, k), k innermost. The data tile's balanced-plane
+    extraction is computed once per (b, i, k) — at j == 0 — into the
+    a_cache scratch (K//bk, n*bm, bk); later j-blocks feed the dot straight
+    from the cache (extraction was ~15% of each cell before caching).
+
+    transpose_out=True writes each output tile transposed to a transposed
+    out layout — the NTT's final (..., k1, k2) -> (..., k2, k1) swap for
+    free (no separate 2-pass HBM transpose)."""
+    j = pl.program_id(2)
+    k = pl.program_id(3)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    a_all = jnp.concatenate(_extract_planes(x_ref[...], p, n_planes), axis=0)
-    prod = jnp.dot(a_all, b_ref[...], preferred_element_type=jnp.int32)
+    @pl.when(j == 0)
+    def _():
+        planes = _extract_planes(x_ref[0], p, n_planes)
+        for pi in range(n_planes):
+            a_cache[k, pi * _BM : (pi + 1) * _BM, :] = planes[pi]
+
+    prod = jnp.dot(a_cache[k], b_ref[...], preferred_element_type=jnp.int32)
     for i in range(n_planes):
-        for j in range(n_planes):
-            acc_ref[i + j] = acc_ref[i + j] + prod[
-                i * _BM : (i + 1) * _BM, j * _BN : (j + 1) * _BN
+        for jj in range(n_planes):
+            acc_ref[i + jj] = acc_ref[i + jj] + prod[
+                i * _BM : (i + 1) * _BM, jj * _BN : (jj + 1) * _BN
             ]
 
-    @pl.when(k == pl.num_programs(2) - 1)
+    @pl.when(k == pl.num_programs(3) - 1)
     def _():
-        o_ref[...] = _fold_diagonals(acc_ref, p, n_planes)
+        r = _fold_diagonals(acc_ref, p, n_planes)
+        o_ref[0] = r.T if transpose_out else r
 
 
-def _kernel_data_right(a_ref, x_ref, o_ref, acc_ref, *, p: int, n_planes: int):
-    """out = A @ X: a tile (n*bm, bk) int8 stacked table, x tile (bk, bn)."""
-    k = pl.program_id(2)
+def _kernel_data_right(
+    a_ref, x_ref, *rest, p: int, n_planes: int, fuse_t: bool
+):
+    """out = A @ X: a tile (n*bm, bk) int8 stacked table, x tile (1, bk, bn).
+
+    Grid (b, j, i, k), k innermost. The data tile's extraction is computed
+    once per (b, j, k) — at i == 0 — into b_cache (K//bk, bk, n*bn).
+    fuse_t=True multiplies the folded output tile by a twiddle tile mod p
+    in the epilogue (the NTT's elementwise twiddle for free)."""
+    if fuse_t:
+        t_ref, o_ref, acc_ref, b_cache = rest
+    else:
+        o_ref, acc_ref, b_cache = rest
+    i = pl.program_id(2)
+    k = pl.program_id(3)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    b_all = jnp.concatenate(_extract_planes(x_ref[...], p, n_planes), axis=1)
-    prod = jnp.dot(a_ref[...], b_all, preferred_element_type=jnp.int32)
-    for i in range(n_planes):
-        for j in range(n_planes):
-            acc_ref[i + j] = acc_ref[i + j] + prod[
-                i * _BM : (i + 1) * _BM, j * _BN : (j + 1) * _BN
+    @pl.when(i == 0)
+    def _():
+        planes = _extract_planes(x_ref[0], p, n_planes)
+        for pj in range(n_planes):
+            b_cache[k, :, pj * _BN : (pj + 1) * _BN] = planes[pj]
+
+    prod = jnp.dot(a_ref[...], b_cache[k], preferred_element_type=jnp.int32)
+    for ii in range(n_planes):
+        for jj in range(n_planes):
+            acc_ref[ii + jj] = acc_ref[ii + jj] + prod[
+                ii * _BM : (ii + 1) * _BM, jj * _BN : (jj + 1) * _BN
             ]
 
-    @pl.when(k == pl.num_programs(2) - 1)
+    @pl.when(k == pl.num_programs(3) - 1)
     def _():
-        o_ref[...] = _fold_diagonals(acc_ref, p, n_planes)
+        r = _fold_diagonals(acc_ref, p, n_planes)
+        if fuse_t:
+            r = _mulmod_u32m(r, t_ref[...], p)
+        o_ref[0] = r
 
 
-@functools.partial(jax.jit, static_argnames=("p", "interpret"))
-def plane_matmul_data_left(x, b_planes, p: int, interpret: bool = False):
-    """(..., M, K) u32 data @ table planes -> (..., M, N). ``b_planes`` is
-    either raw (n, K, N) int8 planes or pre-stacked (K, (N//bn)*n*bn) via
-    stack_planes_cols. Leading batch axes fold into M."""
+@functools.partial(jax.jit, static_argnames=("p", "interpret", "transpose_out"))
+def plane_matmul_data_left(
+    x, b_planes, p: int, interpret: bool = False, transpose_out: bool = False
+):
+    """(..., M, K) u32 data @ table planes -> (..., M, N) — or (..., N, M)
+    with transpose_out=True (each tile written transposed; the NTT's final
+    axis swap for free). ``b_planes`` is either raw (n, K, N) int8 planes
+    or pre-stacked (K, (N//bn)*n*bn) via stack_planes_cols. Leading batch
+    axes ride a native grid dimension (no data movement)."""
     n_planes = balanced_plane_count(p)
     if b_planes.ndim == 3:
         N = b_planes.shape[-1]
@@ -238,38 +280,52 @@ def plane_matmul_data_left(x, b_planes, p: int, interpret: bool = False):
         N = b_planes.shape[1] // n_planes
     batch = x.shape[:-2]
     M, K = x.shape[-2], x.shape[-1]
-    if batch:
-        x = x.reshape(-1, K)  # (B*M, K)
-    Mf = x.shape[0]
-    grid = (Mf // _BM, N // _BN, K // _BK)
+    xb = x.reshape((-1, M, K))
+    B = xb.shape[0]
+    grid = (B, M // _BM, N // _BN, K // _BK)
+    out_shape = (B, N, M) if transpose_out else (B, M, N)
+    out_spec = (
+        pl.BlockSpec((1, _BN, _BM), lambda b, i, j, k: (b, j, i), memory_space=pltpu.VMEM)
+        if transpose_out
+        else pl.BlockSpec((1, _BM, _BN), lambda b, i, j, k: (b, i, j), memory_space=pltpu.VMEM)
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel_data_left, p=p, n_planes=n_planes),
-        out_shape=jax.ShapeDtypeStruct((Mf, N), jnp.uint32),
+        functools.partial(
+            _kernel_data_left, p=p, n_planes=n_planes, transpose_out=transpose_out
+        ),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_BM, _BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, _BM, _BK), lambda b, i, j, k: (b, i, k), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (_BK, n_planes * _BN),
-                lambda i, j, k: (k, j),
+                lambda b, i, j, k: (k, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((_BM, _BN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * n_planes - 1, _BM, _BN), jnp.int32)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_planes - 1, _BM, _BN), jnp.int32),
+            pltpu.VMEM((K // _BK, n_planes * _BM, _BK), jnp.int8),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(x.astype(jnp.uint32), b_planes)
-    return out.reshape(batch + (M, N)) if batch else out
+    )(xb.astype(jnp.uint32), b_planes)
+    tail = (N, M) if transpose_out else (M, N)
+    return out.reshape(batch + tail)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
-def plane_matmul_data_right(a_planes, x, p: int, interpret: bool = False):
+def plane_matmul_data_right(a_planes, x, p: int, interpret: bool = False, twiddle=None):
     """Table planes @ (..., K, N) u32 data -> (..., M, N). ``a_planes`` is
     either raw (n, M, K) int8 planes or pre-stacked ((M//bm)*n*bm, K) via
-    stack_planes_rows. Leading batch axes fold into N (one transpose each
-    way, amortized over the matmul)."""
+    stack_planes_rows. Leading batch axes ride a native grid dimension.
+    ``twiddle`` (M, N) u32 in [0, p), if given, multiplies the output
+    elementwise mod p in the epilogue (the NTT twiddle stage for free)."""
     n_planes = balanced_plane_count(p)
     if a_planes.ndim == 3:
         M = a_planes.shape[1]
@@ -284,31 +340,39 @@ def plane_matmul_data_right(a_planes, x, p: int, interpret: bool = False):
         M = a_planes.shape[0] // n_planes
     batch = x.shape[:-2]
     K, N = x.shape[-2], x.shape[-1]
-    if batch:
-        xb = x.reshape((-1, K, N))
-        x = jnp.moveaxis(xb, 0, 1).reshape(K, -1)  # (K, B*N)
-    Nf = x.shape[1]
-    grid = (M // _BM, Nf // _BN, K // _BK)
+    xb = x.reshape((-1, K, N))
+    B = xb.shape[0]
+    grid = (B, N // _BN, M // _BM, K // _BK)
+    fuse_t = twiddle is not None
+    in_specs = [
+        pl.BlockSpec(
+            (n_planes * _BM, _BK), lambda b, j, i, k: (i, k), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, _BK, _BN), lambda b, j, i, k: (b, k, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [a_planes, xb.astype(jnp.uint32)]
+    if fuse_t:
+        in_specs.append(
+            pl.BlockSpec((_BM, _BN), lambda b, j, i, k: (i, j), memory_space=pltpu.VMEM)
+        )
+        args.append(twiddle.astype(jnp.uint32))
     out = pl.pallas_call(
-        functools.partial(_kernel_data_right, p=p, n_planes=n_planes),
-        out_shape=jax.ShapeDtypeStruct((M, Nf), jnp.uint32),
+        functools.partial(_kernel_data_right, p=p, n_planes=n_planes, fuse_t=fuse_t),
+        out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.uint32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (n_planes * _BM, _BK),
-                lambda i, j, k: (i, k),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((_BK, _BN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, _BM, _BN), lambda b, j, i, k: (b, i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_planes - 1, _BM, _BN), jnp.int32),
+            pltpu.VMEM((K // _BK, _BK, n_planes * _BN), jnp.int8),
         ],
-        out_specs=pl.BlockSpec((_BM, _BN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * n_planes - 1, _BM, _BN), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(a_planes, x.astype(jnp.uint32))
-    if batch:
-        out = jnp.moveaxis(out.reshape(M, -1, N), 1, 0)
-        return out.reshape(batch + (M, N))
-    return out
+    )(*args)
+    return out.reshape(batch + (M, N))

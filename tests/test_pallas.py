@@ -187,6 +187,41 @@ def test_ntt_pallas_sides_full_transform(monkeypatch):
     assert np.array_equal(out, ref)
 
 
+def test_plane_matmul_fused_twiddle_and_transpose_interpret():
+    """The side-1 fused-twiddle epilogue and side-2 transposed-tile output
+    match the unfused reference formulations exactly."""
+    import jax.numpy as jnp
+
+    from galois_tpu.ops._linalg import _prime_matmul_planes, balanced_planes_np
+    from galois_tpu.ops._pallas._plane_matmul import (
+        _BK,
+        _BM,
+        _BN,
+        plane_matmul_data_left,
+        plane_matmul_data_right,
+    )
+
+    p = 3 * 2**30 + 1
+    M, K, N = _BM, _BK, 2 * _BN
+    rng = np.random.default_rng(21)
+    A = rng.integers(0, p, (M, K), dtype=np.int64).astype(np.uint32)
+    Apl = jnp.asarray(balanced_planes_np(A, p))
+    y = jnp.asarray(rng.integers(0, p, (2, K, N), dtype=np.int64).astype(np.uint32))
+    T = jnp.asarray(rng.integers(0, p, (M, N), dtype=np.int64).astype(np.uint32))
+    out = plane_matmul_data_right(Apl, y, p, True, twiddle=T)
+    base = _prime_matmul_planes(None, y[0], p, K, a_planes=Apl).astype(np.uint64)
+    exp0 = (np.asarray(base) * np.asarray(T, dtype=np.uint64)) % p
+    assert np.array_equal(np.asarray(out[0], dtype=np.uint64), exp0)
+
+    x = jnp.asarray(rng.integers(0, p, (2, M, K), dtype=np.int64).astype(np.uint32))
+    W = rng.integers(0, p, (K, N), dtype=np.int64).astype(np.uint32)
+    Wpl = jnp.asarray(balanced_planes_np(W, p))
+    out_t = plane_matmul_data_left(x, Wpl, p, True, transpose_out=True)
+    assert out_t.shape == (2, N, M)
+    ref = _prime_matmul_planes(x[1], None, p, K, b_planes=Wpl)
+    assert np.array_equal(np.asarray(out_t[1]), np.asarray(ref).astype(np.uint32).T)
+
+
 def test_plane_matmul_supports_bounds():
     """The exactness guard uses the true balanced-digit magnitude bound
     (128, not 127): a (p, K) pair right at the 127-bound must be rejected."""
