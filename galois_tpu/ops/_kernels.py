@@ -1055,7 +1055,7 @@ class LimbPrimeOps(_PlanarTupleMixin, FieldOps):
             carry = v >> LIMB_BITS
         return out
 
-    def _mul_full_t(self, a, b):
+    def _mul_full_t(self, a, b, unroll: bool = False):
         """Schoolbook product -> 2L carry-normalized limb planes (u32).
 
         Small L keeps the fused elementwise double loop (O(L^2) tiny ops,
@@ -1063,10 +1063,18 @@ class LimbPrimeOps(_PlanarTupleMixin, FieldOps):
         int8 MXU matmul instead: the unrolled loop is ~4 L^2 HLO ops PER
         MULTIPLY, and a 16-limb Fermat pow ladder (reciprocal of a 255-bit
         prime) made LLVM spin for tens of minutes compiling the scan body.
-        """
+
+        ``unroll=True`` opts BACK into the fused elementwise loop for
+        one-shot call sites outside any scan (NTT twiddle, matmul combine):
+        the MXU fold materializes (2L^2, N) u32 intermediates in HBM —
+        measured 301 ms for the BLS 2^22 twiddle multiply (probe_r5b) vs
+        single-digit ms unrolled — while a straight-line 4L^2-op graph
+        compiles fine when it is not inside a loop body. Column sums stay
+        < 2^22 for L <= 32, so the unrolled path is exact for every
+        supported width."""
         L = self.L
         d, e, shape = self._bcast2_t(a, b)
-        if L <= 4:
+        if L <= 4 or unroll:
             zero = jnp.zeros(shape, jnp.uint32)
             cols = [zero] * (2 * L)
             for i in range(L):
@@ -1115,13 +1123,15 @@ class LimbPrimeOps(_PlanarTupleMixin, FieldOps):
         # row sums <= 2L * (2^16 - 1) < 2^22: carry_norm's invariant holds
         return [acc[k].reshape(shape) for k in range(M.shape[0])]
 
-    def _mul_const_t(self, a, const_limbs: np.ndarray):
-        """a (limb planes) times a static limb constant -> carry-normalized."""
+    def _mul_const_t(self, a, const_limbs: np.ndarray, unroll: bool = False):
+        """a (limb planes) times a static limb constant -> carry-normalized.
+        ``unroll`` as in _mul_full_t (one-shot sites only, never scan
+        bodies)."""
         K = len(const_limbs)
         L = len(a)
         aw = [x.astype(jnp.uint32) for x in a]
         shape = jnp.broadcast_shapes(*[x.shape for x in aw])
-        if L <= 4:
+        if L <= 4 or unroll:
             zero = jnp.zeros(shape, jnp.uint32)
             cols = [zero] * (L + K)
             for j, cj in enumerate(const_limbs):
@@ -1168,19 +1178,19 @@ class LimbPrimeOps(_PlanarTupleMixin, FieldOps):
         ge = borrow == 0
         return [jnp.where(ge, df, rr) for df, rr in zip(diff, r)]
 
-    def _barrett_t(self, x):
+    def _barrett_t(self, x, unroll: bool = False):
         """x (2L normalized planes) mod p -> L planes. HAC Alg 14.42, b=2^16."""
         L = self.L
         # q1 = floor(x / b^(L-1)) : limbs L-1 .. 2L-1 (L+1 planes)
         q1 = x[L - 1 :]
         # q2 = q1 * mu (mu has L+1 limbs) -> up to 2L+2 planes
-        q2 = self._mul_const_t(q1, self.mu_limbs)
+        q2 = self._mul_const_t(q1, self.mu_limbs, unroll=unroll)
         # q3 = floor(q2 / b^(L+1))
         q3 = q2[L + 1 :]
         # r1 = x mod b^(L+1)
         r1 = x[: L + 1]
         # r2 = (q3 * p) mod b^(L+1)
-        q3p = self._mul_const_t(q3, np.asarray(self.p_limbs))
+        q3p = self._mul_const_t(q3, np.asarray(self.p_limbs), unroll=unroll)
         r2 = q3p[: L + 1]
         # r = r1 - r2 (mod b^(L+1)); result in [0, 3p)
         r, _ = self._sub_limbs_t(r1, r2, L + 1)
@@ -1189,8 +1199,16 @@ class LimbPrimeOps(_PlanarTupleMixin, FieldOps):
         r = self._sub_if_ge_t(r, self.p_limbs)
         return tuple(r[: self.L])
 
-    def multiply_t(self, a, b):
-        return self._barrett_t(self._mul_full_t(a, b))
+    def multiply_t(self, a, b, unroll: bool = False):
+        return self._barrett_t(self._mul_full_t(a, b, unroll=unroll), unroll=unroll)
+
+    def multiply_unrolled(self, a, b):
+        """Planar-storage elementwise multiply via the fused unrolled loop —
+        for one-shot call sites outside any scan (NTT twiddle). See
+        _mul_full_t's unroll note."""
+        return self.join_limbs(
+            self.multiply_t(self.split_limbs(a), self.split_limbs(b), unroll=True)
+        )
 
     def square_t(self, a):
         return self.multiply_t(a, a)

@@ -270,7 +270,10 @@ def _glm_core_block(ops, meta, a, b, mode: str):
         c_fold = np.asarray(
             int_to_limbs(pow(2, _LIMB_BITS * top, meta.characteristic), L)
         )
-        folded = list(ops._mul_const_t(hi, c_fold))  # normalized planes
+        # unroll: one-shot combine on the (M, N) output — the MXU-fold
+        # variant round-trips (2LK, M*N) u32 through HBM (see _kernels.py
+        # _mul_full_t unroll note)
+        folded = list(ops._mul_const_t(hi, c_fold, unroll=True))  # normalized planes
         width = max(len(lo), len(folded))
         zero = jnp.zeros((M, N), jnp.uint32)
         lo += [zero] * (width - len(lo))
@@ -279,7 +282,7 @@ def _glm_core_block(ops, meta, a, b, mode: str):
 
     zero = jnp.zeros((M, N), jnp.uint32)
     cols = list(cols) + [zero] * (2 * L - len(cols))
-    r = ops._barrett_t(cols[: 2 * L])
+    r = ops._barrett_t(cols[: 2 * L], unroll=True)
     return jnp.stack([jnp.broadcast_to(x, (M, N)) for x in r], axis=0).astype(a.dtype)
 
 

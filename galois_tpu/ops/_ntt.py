@@ -521,28 +521,18 @@ class MatmulFFTPlan(FFTPlan):
         return (t1, jnp.asarray(self.T), t2)
 
     def _twiddle_mul(self, A, T):
-        """Elementwise twiddle multiply, chunked for wide-limb fields.
+        """Elementwise twiddle multiply.
 
-        A w-limb elementwise multiply materializes a (w, w, N) digit outer
-        product inside _mul_full_t — for the BLS12-381 field at 2^22 that
-        is a 4.3 GB intermediate and the transform OOMs HBM (round-4
-        probe: 16.74/15.75 GB). lax.map over row blocks keeps one block's
-        intermediates live at a time; small-limb fields (Goldilocks w=4)
-        keep the single fused multiply."""
+        Wide-limb fields use the UNROLLED elementwise multiply: the default
+        MXU-fold formulation materializes (2w^2, N) u32 intermediates in
+        HBM — measured 301 ms for the BLS 2^22 twiddle alone (probe_r5b,
+        35% of the whole transform) — while the straight-line fused loop is
+        one HBM pass. This is a one-shot site (never a scan body), so the
+        4w^2-op graph is compile-safe; see LimbPrimeOps._mul_full_t."""
         w = self.meta.storage_width
-        n1 = A.shape[-2]
-        elems = int(np.prod(A.shape[1:], dtype=np.int64))
-        if w <= 4 or w * w * elems * 4 <= 2**30 or A.shape[1:] != T.shape[1:]:
-            return self.ops.multiply(A, T)
-        rows = max(1, 2**30 // (w * w * (elems // n1) * 4))
-        rows = 1 << (rows.bit_length() - 1)
-        if n1 % rows or n1 // rows <= 1:
-            return self.ops.multiply(A, T)
-        nch = n1 // rows
-        As = jnp.moveaxis(A.reshape(A.shape[:-2] + (nch, rows) + A.shape[-1:]), -3, 0)
-        Ts = jnp.moveaxis(T.reshape(T.shape[:-2] + (nch, rows) + T.shape[-1:]), -3, 0)
-        out = jax.lax.map(lambda ab: self.ops.multiply(ab[0], ab[1]), (As, Ts))
-        return jnp.moveaxis(out, 0, -3).reshape(A.shape)
+        if self.meta.storage == "limbs" and w > 4:
+            return self.ops.multiply_unrolled(A, T)
+        return self.ops.multiply(A, T)
 
     def _use_pallas_sides(self) -> bool:
         """Fused Pallas side matmuls — DEFAULT ON on TPU since round 5:
