@@ -376,8 +376,10 @@ def _run(gt, get_ops, platform, results):
         results["goldilocks_mul_gops"] = Ng / tg / 1e9 if tg else "sub-floor"
         results["goldilocks_mul_chain_gops"] = Ng / time_chained(og.multiply, ag, bg) / 1e9
         # tuple-carry chain: what composite kernels (Horner, pow, NTT
-        # stages) actually pay per multiply via the limb-tuple protocol
-        CHAIN_T = 16
+        # stages) actually pay per multiply via the limb-tuple protocol.
+        # 32-deep: at 16 the ~0.5 ms/op body left the total near the
+        # floor's jitter band in degraded sessions (r4's 7.6 reading).
+        CHAIN_T = 32
 
         @jax.jit
         def chain_t(x, y):

@@ -290,10 +290,13 @@ def make_decoder(
         # one field matmul with the inverted Vandermonde recovers the
         # coefficients. Replaces the former top_k + gather + d-step scan.
         era_i8 = era.astype(jnp.int8)
+        # the log sum is < n*(q-1); stay in native int32 lanes when that
+        # fits (every FEC symbol field) — int64 %/<<+ are emulated on TPU
+        sum_dt = jnp.int32 if n * (q - 1) < 2**31 else jnp.int64
         logsum = None
         for i, plane in enumerate(LT_planes):
             s = jnp.matmul(era_i8, jnp.asarray(plane), preferred_element_type=jnp.int32)
-            term = s.astype(jnp.int64) << (7 * i)
+            term = s.astype(sum_dt) << (7 * i)
             logsum = term if logsum is None else logsum + term
         e_red = logsum % (q - 1)  # (B, d)
         gvals = ops._pow_ladder(
