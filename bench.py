@@ -665,29 +665,55 @@ def _run(gt, get_ops, platform, results):
     # tunnel ship that kept 2^24 off the round-4 record is gone.
     try:
         if platform == "tpu":
+            import gc as _gc
+
             from galois_tpu.ops._ntt import _fft_jit as _fjb, _get_omega as _gob, _plan as _plb
+
+            # Free every earlier leg's pinned HBM before the BLS legs: the
+            # int/goldilocks plans (tables + r5 stacked "pls" planes) plus
+            # the 2^24 bench inputs held ~2.5 GB, and the BLS 2^24 leg —
+            # ~1.6 GB of tables + 0.5 GB input + multi-GB matmul working
+            # set — hit RESOURCE_EXHAUSTED in the first r5 capture.
+            xs24 = xb24 = plan24p = plan = xs = xb = None
+            x22 = x24 = plan22 = plan24 = None
+            _fjb.cache_clear()
+            _plb.cache_clear()
+            _gc.collect()
 
             r_bls = 52435875175126190479447740508185965837690552500527637822603658699938581184513
             GFb = gt.GF(r_bls)
             wL = GFb._meta.storage_width  # 16
+            prev_plan = None
             for lg in (20, 22, 24):
-                if lg == 24:
-                    # free every earlier NTT plan's device tables before the
-                    # 1.5 GB 2^24 table build (plans pin HBM via _dev_tables)
-                    _fjb.cache_clear()
-                    _plb.cache_clear()
-                omb = _gob(GFb, 2**lg)
-                planb = _plb(GFb._meta, 2**lg, omb, "jit-calculate")
-                # device-born planar limbs < 2^254 < r (top limb masked)
-                xb = _dev_rand_u32(wL * 2**lg, 41).astype(jnp.uint16).reshape(wL, 2**lg)
-                xb = xb.at[wL - 1].set(xb[wL - 1] & jnp.uint16(0x3FFF))
-                t = time_call(_fjb(planb), xb, reps=3, warmup=1)
-                tc = corrected(t)
-                results[f"bls381_ntt_2^{lg}_ms"] = tc * 1e3 if tc else "unresolvable"
-                if tc:
-                    add_mfu(
-                        results, f"bls381_ntt_2^{lg}", _plan_macs(planb), tc, V5E_S8_PEAK_MACS
-                    )
+                try:
+                    if lg == 24:
+                        # drop the smaller BLS plans' tables too
+                        prev_plan = None
+                        _fjb.cache_clear()
+                        _plb.cache_clear()
+                        _gc.collect()
+                    omb = _gob(GFb, 2**lg)
+                    planb = _plb(GFb._meta, 2**lg, omb, "jit-calculate")
+                    prev_plan = planb
+                    # device-born planar limbs < 2^254 < r (top limb masked)
+                    xb = _dev_rand_u32(wL * 2**lg, 41).astype(jnp.uint16).reshape(wL, 2**lg)
+                    xb = xb.at[wL - 1].set(xb[wL - 1] & jnp.uint16(0x3FFF))
+                    t = time_call(_fjb(planb), xb, reps=3, warmup=1)
+                    tc = corrected(t)
+                    results[f"bls381_ntt_2^{lg}_ms"] = tc * 1e3 if tc else "unresolvable"
+                    if tc:
+                        add_mfu(
+                            results, f"bls381_ntt_2^{lg}", _plan_macs(planb), tc, V5E_S8_PEAK_MACS
+                        )
+                except Exception as e:  # pragma: no cover
+                    results[f"bls381_ntt_2^{lg}_error"] = str(e)[:200]
+            # release BLS tables/input so the remaining sections start clean
+            del prev_plan
+            xb = planb = None
+            _fjb.cache_clear()
+            _plb.cache_clear()
+            jax.clear_caches()
+            _gc.collect()
     except Exception as e:  # pragma: no cover
         results["bls381_ntt_error"] = str(e)[:200]
 
