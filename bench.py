@@ -723,8 +723,10 @@ def _run(gt, get_ops, platform, results):
 
         from galois_tpu.ops._binary_matmul import binary_matmul
 
-        # batch 64 independent matmuls so total time clears the sync floor
-        Bt = 64 if platform == "tpu" else 4
+        # batch so total time clears the sync floor WITH margin: 64 x ~65 us
+        # = 4 ms rode the 24-31 ms floor's jitter (readings 63 -> 112 -> 171
+        # us across rounds on an untouched kernel); 512 x ~65 us = 33 ms
+        Bt = 512 if platform == "tpu" else 4
         Am = _dev_rand_u32(Bt * 256 * 256, 9).astype(jnp.uint8).reshape(Bt, 256, 256)
         Bm = _dev_rand_u32(Bt * 256 * 256, 10).astype(jnp.uint8).reshape(Bt, 256, 256)
         bm_jit = jax.jit(lambda u, v: binary_matmul(GF256._meta, u, v))
