@@ -6,7 +6,13 @@ GF(257), GF(3^5), GF(2^32) x 8 ops) plus FEC and FFT grids
 Prints a markdown table of per-op times. Elementwise ops are timed as single
 whole-array calls corrected by the measured dispatch floor.
 
-Usage: python benchmarks/bench_grid.py [N]
+Save/compare workflow (counterpart of the reference's pytest-benchmark
+--benchmark-save / --benchmark-compare, docs/performance/benchmarks.rst:129-153):
+
+  python benchmarks/bench_grid.py [N] --save NAME      # write results JSON
+  python benchmarks/bench_grid.py [N] --compare NAME   # print % deltas vs it
+
+Saved runs live in benchmarks/results/NAME.json.
 """
 
 import os
@@ -45,11 +51,28 @@ def timeit(fn, *args, reps=5, warmup=2):
     return best
 
 
+def _results_path(name):
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{name}.json")
+
+
 def main():
     import galois_tpu as gt
     from galois_tpu.ops._kernels import get_ops
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    args = [a for a in sys.argv[1:]]
+    save_name = compare_name = None
+    if "--save" in args:
+        i = args.index("--save")
+        save_name = args[i + 1]
+        del args[i : i + 2]
+    if "--compare" in args:
+        i = args.index("--compare")
+        compare_name = args[i + 1]
+        del args[i : i + 2]
+    N = int(args[0]) if args else 100_000
+    record = {}
     rng = np.random.default_rng(0)
 
     tiny = jnp.zeros((8,), jnp.uint8)
@@ -84,6 +107,7 @@ def main():
             else:
                 t = timeit(jax.jit(fn), a, b)
             cells.append(f"{max(t - floor, 0) * 1e6:.1f}")
+            record[f"{name} {mode} {opname}_us"] = max(t - floor, 0) * 1e6
         print(f"| {name} {mode} | {' | '.join(cells)} |")
 
     # FEC grid (reference: benchmarks/test_fec.py — BCH(63,39), RS(63,55), N=1000)
@@ -101,6 +125,8 @@ def main():
         noisy = np.asarray(cws, dtype=np.int64)
         noisy[:, 1] = (noisy[:, 1] + 1) % code.field.order
         t_dec = timeit(lambda c: code.decode(c)._data, code.field(noisy))
+        record[f"{label} encode_ms"] = t_enc * 1e3
+        record[f"{label} decode_ms"] = t_dec * 1e3
         print(f"{label}: encode {Ncw} cws: {t_enc*1e3:.2f} ms | decode: {t_dec*1e3:.2f} ms "
               f"({Ncw/t_dec:.0f} cw/s)")
 
@@ -117,7 +143,28 @@ def main():
         GF = gt.GF(m * n + 1)
         x = GF.Random(n, seed=K)
         t = timeit(lambda v: field_fft(v)._data, x)
+        record[f"FFT n={n}_us"] = max(t - floor, 0) * 1e6
         print(f"FFT n={n} over {GF.name}: {max(t-floor,0)*1e6:.1f} us")
+
+    import json
+
+    if save_name:
+        meta = {"n_elems": N, "backend": jax.default_backend(),
+                "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        with open(_results_path(save_name), "w") as f:
+            json.dump({"meta": meta, "results": record}, f, indent=1, sort_keys=True)
+        print(f"\nsaved -> {_results_path(save_name)}")
+    if compare_name:
+        with open(_results_path(compare_name)) as f:
+            base = json.load(f)
+        print(f"\ncompare vs '{compare_name}' "
+              f"({base['meta'].get('date')}, {base['meta'].get('backend')}, "
+              f"N={base['meta'].get('n_elems')}):  (negative = faster now)")
+        for k in sorted(record):
+            if k in base["results"] and base["results"][k] > 0:
+                pct = 100.0 * (record[k] - base["results"][k]) / base["results"][k]
+                flag = "  <-- regression" if pct > 25 else ""
+                print(f"  {k}: {base['results'][k]:.1f} -> {record[k]:.1f}  ({pct:+.0f}%){flag}")
 
 
 if __name__ == "__main__":
