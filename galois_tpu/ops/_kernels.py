@@ -1530,11 +1530,13 @@ class GoldilocksOps(LimbPrimeOps):
         z = jnp.zeros_like(t[0])
         return (jnp.ones_like(t[0]), z, z, z)
 
-    def multiply_t(self, a, b):
+    def multiply_t(self, a, b, unroll: bool = False):
         # All-u32 16x16->32 products. An f32-pair variant (8-bit halves,
         # exact in f32) was probed in rounds 2-3 and lost to this path on
         # both CPU and TPU (bench.py keeps the experiment as
         # goldilocks_mul_f32_chain_gops); the former env knob is gone.
+        # (unroll accepted for LimbPrimeOps API parity — this path is
+        # already the fully fused elementwise loop.)
         d, e, shape = self._bcast2_t(a, b)
         zero = jnp.zeros(shape, jnp.uint32)
         cols = [zero] * 8
