@@ -194,6 +194,11 @@ def _glm_core_block(ops, meta, a, b, mode: str):
     D = 2 * L
     M, K = a.shape[-2], a.shape[-1]
     N = b.shape[-1]
+    # TPU: unrolled one-shot combine (the MXU-fold variant round-trips
+    # (2LK, M*N) u32 through HBM — probe_r5f: 277 -> 66 ms per BLS side).
+    # CPU keeps the fold path: the unrolled graph costs minutes of LLVM
+    # compile per test while fold compiles in seconds.
+    unroll = jax.default_backend() == "tpu"
 
     au = [a[k].astype(jnp.uint32) for k in range(L)]
     bu = [b[k].astype(jnp.uint32) for k in range(L)]
@@ -270,10 +275,7 @@ def _glm_core_block(ops, meta, a, b, mode: str):
         c_fold = np.asarray(
             int_to_limbs(pow(2, _LIMB_BITS * top, meta.characteristic), L)
         )
-        # unroll: one-shot combine on the (M, N) output — the MXU-fold
-        # variant round-trips (2LK, M*N) u32 through HBM (see _kernels.py
-        # _mul_full_t unroll note)
-        folded = list(ops._mul_const_t(hi, c_fold, unroll=True))  # normalized planes
+        folded = list(ops._mul_const_t(hi, c_fold, unroll=unroll))  # normalized planes
         width = max(len(lo), len(folded))
         zero = jnp.zeros((M, N), jnp.uint32)
         lo += [zero] * (width - len(lo))
@@ -282,7 +284,7 @@ def _glm_core_block(ops, meta, a, b, mode: str):
 
     zero = jnp.zeros((M, N), jnp.uint32)
     cols = list(cols) + [zero] * (2 * L - len(cols))
-    r = ops._barrett_t(cols[: 2 * L], unroll=True)
+    r = ops._barrett_t(cols[: 2 * L], unroll=unroll)
     return jnp.stack([jnp.broadcast_to(x, (M, N)) for x in r], axis=0).astype(a.dtype)
 
 

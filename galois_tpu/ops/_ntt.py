@@ -420,38 +420,27 @@ class MatmulFFTPlan(FFTPlan):
             cur = hf.multiply(cur, g)
         return _ints_to_storage_np(self.meta, pw)
 
-    def _vand_rows(self, row1, nrows: int):
-        """(w, C) planar storage of r[j] -> (w, nrows, C) Vandermonde with
-        out[k, j] = r[j]^k, built by log2(nrows) doubling stages of
-        elementwise field multiplies: rows[cur:2cur] = rows[:cur] * row1^cur.
-
-        Replaces index gathers of the power ladders — XLA's TPU gather
-        lowering made the BLS 2^24 table build take 69 s; the doubling
-        build is ~n1*n2 unrolled element-multiplies in 12 fused stages."""
-        ops = self.ops
-        w, C = row1.shape
-        one_np = np.zeros((w, 1, C), dtype=self.meta.internal_dtype)
-        one_np[0] = 1
-        R = jnp.asarray(one_np)
-        piv = row1[:, None, :]
-        cur = 1
-        while cur < nrows:
-            m = min(cur, nrows - cur)
-            ext = ops.multiply_unrolled(R[:, :m], piv)
-            R = jnp.concatenate([R, ext], axis=1)
-            cur += m
-            if cur < nrows:
-                piv = ops.multiply_unrolled(piv, piv)
-        return R
-
     def _factored_tables(self, lad_hi, lad_lo, lad_w2):
-        """(W1|None, T, W2|None) from device ladders, gather-free:
-        W1[k,j] = (w^n2)^(kj), W2[i,k] = (w^n1)^(ik), T[k,j] = w^(kj) are
-        all Vandermonde in their row index — each is a doubling build over
-        its base ladder (see _vand_rows)."""
-        W1 = self._vand_rows(lad_hi, self.n1) if self.sub1 is None else None
-        W2 = self._vand_rows(lad_w2, self.n2) if self.sub2 is None else None
-        T = self._vand_rows(lad_lo, self.n1)  # (w, n1, n2)
+        """(W1|None, T, W2|None) from device ladders — index gathers along
+        the power axis (int32 iota; kj < N < 2^31, asserted at plan build).
+        A gather-free Vandermonde bit-product build was tried in round 5:
+        its unrolled-multiply jits cost more COMPILE time than the 69 s the
+        TPU gathers cost at 2^24, so gathers stay; the one-shot T twiddle
+        product rides the unrolled elementwise path."""
+        k1 = jax.lax.iota(jnp.int32, self.n1)
+        k2 = jax.lax.iota(jnp.int32, self.n2)
+        W1 = None
+        if self.sub1 is None:
+            idx = (k1[:, None] * k1[None, :]) % self.n1
+            W1 = jnp.take(lad_hi, idx, axis=-1)  # (w, n1, n1)
+        W2 = None
+        if self.sub2 is None:
+            idx = (k2[:, None] * k2[None, :]) % self.n2
+            W2 = jnp.take(lad_w2, idx, axis=-1)  # (w, n2, n2)
+        kj = k1[:, None] * k2[None, :]  # (n1, n2), < N
+        hi = jnp.take(lad_hi, kj // self.n2, axis=-1)
+        lo = jnp.take(lad_lo, kj % self.n2, axis=-1)
+        T = self._twiddle_mul(hi, lo)  # one unrolled field mul, (w, n1, n2)
         return W1, T, W2
 
     def _factored_build(self, eager: bool):
@@ -465,12 +454,7 @@ class MatmulFFTPlan(FFTPlan):
             put(self.lad_lo),
             put(self.lad_w2) if self.lad_w2 is not None else None,
         )
-        if eager:
-            # one jitted builder call: the doubling stages run as a single
-            # compiled program instead of ~36 eager remote dispatches
-            W1, T, W2 = jax.jit(self._factored_tables)(*lads)
-        else:
-            W1, T, W2 = self._factored_tables(*lads)
+        W1, T, W2 = self._factored_tables(*lads)
         if eager:
             W1, T, W2 = (
                 o if o is None else jax.block_until_ready(o) for o in (W1, T, W2)
@@ -550,7 +534,11 @@ class MatmulFFTPlan(FFTPlan):
         one HBM pass. This is a one-shot site (never a scan body), so the
         4w^2-op graph is compile-safe; see LimbPrimeOps._mul_full_t."""
         w = self.meta.storage_width
-        if self.meta.storage == "limbs" and w > 4:
+        if self.meta.storage == "limbs" and w > 4 and jax.default_backend() == "tpu":
+            # TPU only: on CPU the fold path compiles in seconds and runs
+            # fine, while the ~4k-op unrolled graph costs minutes of LLVM
+            # compile per transform test; unrolled-path exactness is pinned
+            # by tests/test_limb_matmul_generic.py::test_multiply_unrolled.
             return self.ops.multiply_unrolled(A, T)
         return self.ops.multiply(A, T)
 

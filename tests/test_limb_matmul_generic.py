@@ -121,3 +121,55 @@ def test_bls_ntt_roundtrip(F):
     ops = get_ops(F._meta, "jit-calculate")
     back = ops.multiply(xi, ops.from_int_scalar(hf.reciprocal(N % BLS_R)))
     assert np.array_equal(np.asarray(back), np.asarray(x._data))
+
+
+def test_multiply_unrolled_parity():
+    """The unrolled elementwise limb multiply (TPU twiddle/combine path,
+    LimbPrimeOps unroll=True) is bit-exact vs the default MXU-fold path."""
+    import jax.numpy as jnp
+
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import get_ops
+
+    r = 52435875175126190479447740508185965837690552500527637822603658699938581184513
+    F = g.GF(r)
+    ops = get_ops(F._meta, "jit-calculate")
+    rng = np.random.default_rng(0)
+    vals = [
+        (int(a) | (int(b) << 64) | (int(c) << 128) | (int(d) << 192)) % r
+        for a, b, c, d in rng.integers(0, 2**63, (300, 4), dtype=np.uint64)
+    ]
+    vals += [0, 1, r - 1, 2**255 % r]
+    A = F(vals)
+    B = F(vals[::-1])
+    m_fold = ops.multiply(A._data, B._data)
+    m_unroll = ops.multiply_unrolled(A._data, B._data)
+    assert np.array_equal(np.asarray(m_fold), np.asarray(m_unroll))
+
+
+def test_glm_unrolled_combine_parity():
+    """generic_limb_matmul's combine stage gives identical results with the
+    unrolled and fold formulations (the TPU path forces unroll=True)."""
+    import galois_tpu as g
+    from galois_tpu.ops._kernels import get_ops
+    from galois_tpu.ops import _limb_matmul as glm
+
+    r = 52435875175126190479447740508185965837690552500527637822603658699938581184513
+    F = g.GF(r)
+    ops = get_ops(F._meta, "jit-calculate")
+    rng = np.random.default_rng(1)
+    n = 24
+    vals = rng.integers(0, 2**16, (2, F._meta.storage_width, n, n), dtype=np.int64)
+    a = np.asarray(vals[0], dtype=np.uint16)
+    b = np.asarray(vals[1], dtype=np.uint16)
+    import jax.numpy as jnp
+
+    base = glm.generic_limb_matmul(F._meta, jnp.asarray(a), jnp.asarray(b))
+    # force the TPU combine variant by patching the backend probe
+    orig = glm.jax.default_backend
+    try:
+        glm.jax.default_backend = lambda: "tpu"
+        forced = glm.generic_limb_matmul(F._meta, jnp.asarray(a), jnp.asarray(b))
+    finally:
+        glm.jax.default_backend = orig
+    assert np.array_equal(np.asarray(base), np.asarray(forced))
