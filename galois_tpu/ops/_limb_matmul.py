@@ -148,33 +148,54 @@ def _digit_planes8(limbs, L: int):
     return out
 
 
+def _kblk_for(D: int) -> int:
+    """K-block bound: true (unsigned-digit) diagonal sums must stay < 2^32;
+    worst diagonal has <= D pairs of byte products <= 255^2."""
+    return min(2048, max(1, (2**32 - 1) // (255 * 255 * D)))
+
+
 def _glm_core(ops, meta, a, b, mode: str):
     """Chunk the output columns so the int32 digit-product intermediates
     stay bounded: at N = M = 2048 (the BLS 2^22 NTT side) the unchunked
     (M, D*N) int32 product is ~620 MB live per A-digit and the device
     OOMs (round-4 bench: 16.02G/15.75G HBM). Chunks run under lax.map so
     only ONE chunk's intermediates are live at a time — a Python loop of
-    independent chunks let the scheduler overlap them and still OOM'd."""
+    independent chunks let the scheduler overlap them and still OOM'd.
+
+    A's digit planes and their column sums are extracted ONCE here and
+    captured by the chunk body — the per-chunk re-extraction wrote the
+    same ~0.5 GB of int8 planes 16x at the 2^24 side shape."""
     L = meta.storage_width
     D = -(-(_LIMB_BITS * L) // _DIGIT_BITS)
     M, N = a.shape[-2], b.shape[-1]
+    K = a.shape[-1]
     nc = max(128, (128 * 2**20) // max(1, 4 * M * D))
     nc = 1 << (nc.bit_length() - 1)  # power of two: divides any pow2 N
     if N <= nc:
         return _glm_core_block(ops, meta, a, b, mode)
+    au = [a[k].astype(jnp.uint32) for k in range(L)]
+    kblk = _kblk_for(D)
+    a_pre = []
+    for k0 in range(0, K, kblk):
+        k1 = min(K, k0 + kblk)
+        a_pl = _digit_planes8([x[:, k0:k1] for x in au], L)
+        cs = [jnp.sum(p, axis=1, dtype=jnp.int32) for p in a_pl]
+        a_pre.append((a_pl, cs))
     if N % nc == 0:
         nch = N // nc
         bs = jnp.moveaxis(b.reshape(b.shape[:-1] + (nch, nc)), -2, 0)
-        out = jax.lax.map(lambda bb: _glm_core_block(ops, meta, a, bb, mode), bs)
+        out = jax.lax.map(
+            lambda bb: _glm_core_block(ops, meta, a, bb, mode, a_pre=a_pre), bs
+        )
         return jnp.moveaxis(out, 0, -2).reshape(out.shape[1:-1] + (N,))
     outs = [
-        _glm_core_block(ops, meta, a, b[..., n0 : min(N, n0 + nc)], mode)
+        _glm_core_block(ops, meta, a, b[..., n0 : min(N, n0 + nc)], mode, a_pre=a_pre)
         for n0 in range(0, N, nc)
     ]
     return jnp.concatenate(outs, axis=-1)
 
 
-def _glm_core_block(ops, meta, a, b, mode: str):
+def _glm_core_block(ops, meta, a, b, mode: str, a_pre=None):
     """Unbatched core: a (L, M, K) @ b (L, K, N) planar u16 -> (L, M, N).
 
     One stacked int8 MXU matmul per (K-block, A-digit): A_i (M, Kb) times
@@ -200,20 +221,22 @@ def _glm_core_block(ops, meta, a, b, mode: str):
     # compile per test while fold compiles in seconds.
     unroll = jax.default_backend() == "tpu"
 
-    au = [a[k].astype(jnp.uint32) for k in range(L)]
+    au = [a[k].astype(jnp.uint32) for k in range(L)] if a_pre is None else None
     bu = [b[k].astype(jnp.uint32) for k in range(L)]
 
-    # true (unsigned-digit) diagonal sums must stay < 2^32: worst diagonal
-    # has min(D, ...) <= D pairs of byte products <= 255^2
-    kblk = min(2048, max(1, (2**32 - 1) // (255 * 255 * D)))
+    kblk = _kblk_for(D)
     # top contribution sits at bit 8*(2D-2) and spans +32 bits
     W16 = -(-(_DIGIT_BITS * (2 * D - 2) + 32) // _LIMB_BITS) + 1
 
     cols = None
-    for k0 in range(0, K, kblk):
+    for blk_i, k0 in enumerate(range(0, K, kblk)):
         k1 = min(K, k0 + kblk)
         kb = k1 - k0
-        a_pl = _digit_planes8([x[:, k0:k1] for x in au], L)
+        if a_pre is None:
+            a_pl = _digit_planes8([x[:, k0:k1] for x in au], L)
+            cs_pre = None
+        else:
+            a_pl, cs_pre = a_pre[blk_i]
         b_pl = _digit_planes8([x[k0:k1, :] for x in bu], L)
         nD = len(a_pl)
         Bt = jnp.stack(b_pl, axis=1).reshape(kb, nD * N)  # (Kb, D*N)
@@ -230,7 +253,11 @@ def _glm_core_block(ops, meta, a, b, mode: str):
         # zero-point corrections: colsum(A'_i) (M,), rowsum(B'_j) (N,)
         # dtype pinned: under x64 jnp.sum(int32) widens to int64 (NumPy
         # semantics) and a 64-bit bitcast to u32 would grow a trailing axis
-        cs = [jnp.sum(a_pl[i], axis=1, dtype=jnp.int32) for i in range(nD)]  # (M,)
+        cs = (
+            [jnp.sum(a_pl[i], axis=1, dtype=jnp.int32) for i in range(nD)]
+            if cs_pre is None
+            else cs_pre
+        )  # (M,)
         rs = [jnp.sum(b_pl[j], axis=0, dtype=jnp.int32) for j in range(nD)]  # (N,)
         blk_cols = [None] * W16
         for s in range(2 * nD - 1):
