@@ -636,12 +636,17 @@ def _run(gt, get_ops, platform, results):
             GFg3 = gt.GF(2**64 - 2**32 + 1)
             om22 = _go(GFg3, 2**22)
             plan22 = _pl(GFg3._meta, 2**22, om22, "jit-calculate")
+            # batched x4: the ~15 ms single-call body rode the floor's
+            # jitter (r5 captures swung 8.8-20.8 ms on the same kernel)
+            Bg = 4
             x22 = jnp.asarray(
-                rng.integers(0, 2**16, (GFg3._meta.storage_width, 2**22), dtype=np.int64).astype(np.uint16)
+                rng.integers(
+                    0, 2**16, (GFg3._meta.storage_width, Bg, 2**22), dtype=np.int64
+                ).astype(np.uint16)
             )
             t = time_call(_fj(plan22), x22, reps=3, warmup=1)
             tc = corrected(t)
-            results["goldilocks_ntt_2^22_ms"] = tc * 1e3 if tc else "unresolvable" 
+            results["goldilocks_ntt_2^22_ms"] = tc / Bg * 1e3 if tc else "unresolvable"
             # 2^24 rides the MXU 4-step goldilocks plan (no giant
             # elementwise intermediate since ops/_limb_matmul.py landed)
             om24 = _go(GFg3, 2**24)
@@ -695,15 +700,29 @@ def _run(gt, get_ops, platform, results):
                     omb = _gob(GFb, 2**lg)
                     planb = _plb(GFb._meta, 2**lg, omb, "jit-calculate")
                     prev_plan = planb
+                    # 2^20 is batched x8: its ~10 ms body rode the floor
+                    # (r5 captures swung 34.9-46.7 ms on the same kernel);
+                    # the bigger sizes clear the floor on their own.
+                    Bb2 = 8 if lg == 20 else 1
                     # device-born planar limbs < 2^254 < r (top limb masked)
-                    xb = _dev_rand_u32(wL * 2**lg, 41).astype(jnp.uint16).reshape(wL, 2**lg)
+                    xb = (
+                        _dev_rand_u32(wL * Bb2 * 2**lg, 41)
+                        .astype(jnp.uint16)
+                        .reshape((wL, Bb2, 2**lg) if Bb2 > 1 else (wL, 2**lg))
+                    )
                     xb = xb.at[wL - 1].set(xb[wL - 1] & jnp.uint16(0x3FFF))
                     t = time_call(_fjb(planb), xb, reps=3, warmup=1)
                     tc = corrected(t)
-                    results[f"bls381_ntt_2^{lg}_ms"] = tc * 1e3 if tc else "unresolvable"
+                    results[f"bls381_ntt_2^{lg}_ms"] = (
+                        tc / Bb2 * 1e3 if tc else "unresolvable"
+                    )
                     if tc:
                         add_mfu(
-                            results, f"bls381_ntt_2^{lg}", _plan_macs(planb), tc, V5E_S8_PEAK_MACS
+                            results,
+                            f"bls381_ntt_2^{lg}",
+                            _plan_macs(planb),
+                            tc / Bb2,
+                            V5E_S8_PEAK_MACS,
                         )
                 except Exception as e:  # pragma: no cover
                     results[f"bls381_ntt_2^{lg}_error"] = str(e)[:200]
