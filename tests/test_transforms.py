@@ -82,3 +82,26 @@ def test_convolve_golden():
         for xi, yi, zi in zip(X, Y, Z):
             out = np.convolve(F(xi), F(yi))
             assert np.array_equal(np.asarray(out, dtype=np.int64), np.asarray(zi))
+
+
+def test_batched_limb_transform_matches_single():
+    """A leading batch axis on a planar-limb transform (after the (w,) limb
+    axis) gives the same per-item results as single transforms — the shape
+    bench.py's batched Goldilocks/BLS legs rely on."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import _fft_jit, _get_omega, _plan
+
+    F = g.GF(2**64 - 2**32 + 1)
+    w = F._meta.storage_width
+    N = 4096
+    plan = _plan(F._meta, N, _get_omega(F, N), "jit-calculate")
+    rng = np.random.default_rng(0)
+    xb = rng.integers(0, 2**16, (w, 3, N), dtype=np.int64).astype(np.uint16)
+    f = _fft_jit(plan)
+    out_b = np.asarray(f(jnp.asarray(xb)))
+    for b in range(3):
+        out_1 = np.asarray(f(jnp.asarray(xb[:, b])))
+        assert np.array_equal(out_b[:, b], out_1), b
