@@ -33,7 +33,7 @@ CHAIN = 64
 # measured stream stays in the JSON as a session-health diagnostic.
 V5E_HBM_GBPS = 819.0  # HBM bandwidth
 V5E_S8_PEAK_MACS = 197.5e12  # int8 MXU: 395 TOPS = 197.5e12 MAC/s
-V5E_F32PLANE_PEAK_MACS = 98.8e12  # f32 0/1 planes ride the bf16 MXU pass
+V5E_F32PLANE_PEAK_MACS = 98.8e12  # (bf16-pass rate; unused since binary_matmul went int8)
 
 _ROOFLINE_GBPS = None  # set per-run: spec on TPU, measured stream on CPU
 _IS_TPU = False
@@ -585,7 +585,7 @@ def _run(gt, get_ops, platform, results):
                 "rs255_decode",
                 B * _decoder_matmul_macs(255, 255, rs.d, 8),
                 t,
-                V5E_F32PLANE_PEAK_MACS,
+                V5E_S8_PEAK_MACS,  # binary_matmul rides int8 dots since r5
             )
         dec_e = make_decoder(
             fmeta, rs.field._mode, 256, 255, 255, rs.d, rs.c, int(rs.alpha), with_erasures=True
@@ -620,7 +620,7 @@ def _run(gt, get_ops, platform, results):
                 "bch511_decode",
                 Bb * _decoder_matmul_macs(511, 511, bch.d, 9),
                 t,
-                V5E_F32PLANE_PEAK_MACS,
+                V5E_S8_PEAK_MACS,  # binary_matmul rides int8 dots since r5
             )
     except Exception as e:  # pragma: no cover
         results["bch_error"] = str(e)[:200]
@@ -752,13 +752,13 @@ def _run(gt, get_ops, platform, results):
         t = corrected(time_call(bm_jit, Am, Bm))
         results["gf256_matmul256_us"] = t / Bt * 1e6 if t else "unresolvable"
         if t:
-            # 64 f32 0/1-plane products per matmul: (8*256, 256) @ (256, 8*256)
+            # 64 int8 0/1-plane products per matmul: (8*256, 256) @ (256, 8*256)
             add_mfu(
                 results,
                 "gf256_matmul256",
                 Bt * 64 * 256**3,
                 t,
-                V5E_F32PLANE_PEAK_MACS,
+                V5E_S8_PEAK_MACS,  # binary_matmul rides int8 dots since r5
             )
     except Exception as e:  # pragma: no cover
         results["matmul_error"] = str(e)

@@ -63,14 +63,18 @@ def main():
 
     args = [a for a in sys.argv[1:]]
     save_name = compare_name = None
-    if "--save" in args:
-        i = args.index("--save")
-        save_name = args[i + 1]
+    def _take_opt(flag):
+        if flag not in args:
+            return None
+        i = args.index(flag)
+        if i + 1 >= len(args):
+            sys.exit(f"usage: bench_grid.py [N] [--save NAME] [--compare NAME] ({flag} needs a NAME)")
+        name = args[i + 1]
         del args[i : i + 2]
-    if "--compare" in args:
-        i = args.index("--compare")
-        compare_name = args[i + 1]
-        del args[i : i + 2]
+        return name
+
+    save_name = _take_opt("--save")
+    compare_name = _take_opt("--compare")
     N = int(args[0]) if args else 100_000
     record = {}
     rng = np.random.default_rng(0)

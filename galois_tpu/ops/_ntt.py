@@ -479,7 +479,6 @@ class MatmulFFTPlan(FFTPlan):
 
             put = jax.device_put if to_dev else jnp.asarray
             pl = balanced_planes_np(W, self.meta.characteristic)
-            out = {"pl": put(pl)}
             from ._pallas._plane_matmul import (
                 stack_planes_cols,
                 stack_planes_rows,
@@ -488,10 +487,17 @@ class MatmulFFTPlan(FFTPlan):
 
             p = self.meta.characteristic
             K = W.shape[0]
-            if _pm_supports(p, K, K, K):
+            # Ship exactly ONE representation (they are the same 64 MB of
+            # int8 at 2^24 — shipping both doubled the pinned table HBM):
+            # the block-stacked Pallas layout when the fused side kernels
+            # will serve this plan, else the raw planes for the XLA path.
+            # If the env flag changes between build and trace, transform
+            # falls back to the raw-table `_prime_matmul` for a missing
+            # "pl" (correct, just pays runtime extraction).
+            if self._use_pallas_sides() and _pm_supports(p, K, K, K):
                 stk = stack_planes_rows(pl) if side == "left" else stack_planes_cols(pl)
-                out["pls"] = put(stk)
-            return out
+                return {"pls": put(stk)}
+            return {"pl": put(pl)}
         return jax.device_put(W) if to_dev else jnp.asarray(W)
 
     def device_tables(self):
@@ -540,7 +546,23 @@ class MatmulFFTPlan(FFTPlan):
             # compile per transform test; unrolled-path exactness is pinned
             # by tests/test_limb_matmul_generic.py::test_multiply_unrolled.
             return self.ops.multiply_unrolled(A, T)
-        return self.ops.multiply(A, T)
+        # Fold path: chunk wide-limb multiplies so the (w, w, N) digit
+        # outer product inside _mul_full_t stays bounded — at the BLS
+        # 2^22 shape the unchunked intermediate is ~4.3 GB and OOMs
+        # (round-4 probe: 16.74/15.75 GB HBM).
+        n1 = A.shape[-2] if A.ndim >= 2 else 1
+        elems = int(np.prod(A.shape[1:], dtype=np.int64))
+        if w <= 4 or w * w * elems * 4 <= 2**30 or A.shape[1:] != T.shape[1:]:
+            return self.ops.multiply(A, T)
+        rows = max(1, 2**30 // (w * w * max(1, elems // n1) * 4))
+        rows = 1 << (rows.bit_length() - 1)
+        if n1 % rows or n1 // rows <= 1:
+            return self.ops.multiply(A, T)
+        nch = n1 // rows
+        As = jnp.moveaxis(A.reshape(A.shape[:-2] + (nch, rows) + A.shape[-1:]), -3, 0)
+        Ts = jnp.moveaxis(T.reshape(T.shape[:-2] + (nch, rows) + T.shape[-1:]), -3, 0)
+        out = jax.lax.map(lambda ab: self.ops.multiply(ab[0], ab[1]), (As, Ts))
+        return jnp.moveaxis(out, 0, -3).reshape(A.shape)
 
     def _use_pallas_sides(self) -> bool:
         """Fused Pallas side matmuls — DEFAULT ON on TPU since round 5:
@@ -593,10 +615,17 @@ class MatmulFFTPlan(FFTPlan):
         # the twiddle multiply into its epilogue; when BOTH sides run the
         # fused kernels, side 2 writes its tiles transposed so the final
         # axis swap costs nothing.
+        import os
+
         pallas_ok = self._use_pallas_sides()
         pallas1 = pallas_ok and self.sub1 is None and isinstance(t1, dict) and "pls" in t1
         pallas2 = pallas_ok and self.sub2 is None and isinstance(t2, dict) and "pls" in t2
-        interp = jax.default_backend() != "tpu"
+        # =interpret forces interpreter-mode kernels EVEN on TPU (ground
+        # truth for suspected Mosaic miscompiles), per _use_pallas_sides.
+        interp = (
+            os.environ.get("GALOIS_TPU_NTT_PALLAS", "1") == "interpret"
+            or jax.default_backend() != "tpu"
+        )
         if self.sub1 is not None:
             Mt = jnp.swapaxes(M, -1, -2)  # (..., n2, n1)
             A = jnp.swapaxes(self.sub1.transform(Mt, t1), -1, -2)
@@ -607,7 +636,13 @@ class MatmulFFTPlan(FFTPlan):
                 t1["pls"], M, p, interp, twiddle=T
             ).astype(M.dtype)
         elif isinstance(t1, dict):
-            A = _prime_matmul(None, M, p, self.n1, self.meta, a_planes=t1["pl"])
+            if "pl" in t1:
+                A = _prime_matmul(None, M, p, self.n1, self.meta, a_planes=t1["pl"])
+            else:
+                # tables were built for the Pallas layout but the flag was
+                # turned off after the build: fall back to the raw table
+                # (runtime plane extraction; rare, correct)
+                A = _prime_matmul(jnp.asarray(self.W1), M, p, self.n1, self.meta)
         else:
             A = _prime_matmul(t1, M, p, self.n1, self.meta)
         B = A if pallas1 else self.ops.multiply(A, T)
@@ -621,7 +656,10 @@ class MatmulFFTPlan(FFTPlan):
             ).astype(M.dtype)
             return X.reshape(batch + (self.N,))  # already (..., k2, k1)
         elif isinstance(t2, dict):
-            C = _prime_matmul(B, None, p, self.n2, self.meta, b_planes=t2["pl"])
+            if "pl" in t2:
+                C = _prime_matmul(B, None, p, self.n2, self.meta, b_planes=t2["pl"])
+            else:
+                C = _prime_matmul(B, jnp.asarray(self.W2), p, self.n2, self.meta)
         else:
             C = _prime_matmul(B, t2, p, self.n2, self.meta)
         X = jnp.swapaxes(C, -1, -2)  # (..., k2, k1) -> flat index k1 + N1*k2
