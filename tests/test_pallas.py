@@ -222,6 +222,42 @@ def test_plane_matmul_fused_twiddle_and_transpose_interpret():
     assert np.array_equal(np.asarray(out_t[1]), np.asarray(ref).astype(np.uint32).T)
 
 
+def test_ntt_table_repr_flag_flip_fallback(monkeypatch):
+    """Tables ship exactly ONE plane representation; if the Pallas flag is
+    turned off AFTER a plan built Pallas-layout tables, transform falls
+    back to the raw-table matmul and stays exact (review-fix regression)."""
+    import jax.numpy as jnp
+
+    import galois_tpu as g
+    from galois_tpu.ops._ntt import MatmulFFTPlan, _get_omega
+
+    p = 3 * 2**30 + 1
+    GF = g.GF(p)
+    N = 512 * 512
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.integers(0, p, N, dtype=np.int64).astype(np.uint32))
+
+    monkeypatch.setenv("GALOIS_TPU_NTT_PALLAS", "0")
+    plan_ref = MatmulFFTPlan(GF._meta, N, _get_omega(GF, N), "jit-calculate", 512)
+    t_ref = plan_ref._host_tables()
+    assert "pl" in t_ref[0] and "pls" not in t_ref[0]
+    ref = np.asarray(plan_ref.transform(x, t_ref))
+
+    monkeypatch.setenv("GALOIS_TPU_NTT_PALLAS", "interpret")
+    plan_p = MatmulFFTPlan(GF._meta, N, _get_omega(GF, N), "jit-calculate", 512)
+    t_p = plan_p.transform  # noqa: F841  (plan built; tables below)
+    tabs = plan_p._host_tables()
+    assert "pls" in tabs[0] and "pl" not in tabs[0]
+    out = np.asarray(plan_p.transform(x, tabs))
+    assert np.array_equal(out, ref)
+
+    # flag flipped off AFTER the Pallas-layout tables were built: the
+    # raw-table fallback must be used and remain exact
+    monkeypatch.setenv("GALOIS_TPU_NTT_PALLAS", "0")
+    out2 = np.asarray(plan_p.transform(x, tabs))
+    assert np.array_equal(out2, ref)
+
+
 def test_plane_matmul_supports_bounds():
     """The exactness guard uses the true balanced-digit magnitude bound
     (128, not 127): a (p, K) pair right at the 127-bound must be rejected."""
